@@ -1,0 +1,313 @@
+"""Configuration for the TPU-native Qwen3-TTS engine.
+
+Three layers (mirrors the reference's config system, /root/reference/
+nano-qwen3tts-vllm/config.py:41-610, re-designed for a single-process
+JAX engine):
+
+  * ``EngineConfig``   — engine/runtime knobs (batching, KV cache, mesh).
+  * model config tree  — ``Qwen3TTSConfig`` > ``TalkerConfig`` >
+    ``CodePredictorConfig`` + ``SpeakerEncoderConfig``, parsed from the
+    checkpoint's ``config.json``.
+  * environment variables — server/streaming tuning (see server/app.py).
+
+No torch / transformers dependency: plain dataclasses + dict parsing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Engine config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EngineConfig:
+    """Engine/runtime configuration.
+
+    Parity with reference ``Config`` (config.py:41-66) plus TPU-specific
+    fields. The reference forces ``max_model_len = 1024`` (config.py:64);
+    we keep that default but allow overriding (paged KV makes longer
+    sequences a capacity question, not a kernel question).
+    """
+
+    model: str = ""
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 512
+    max_model_len: int = 1024
+    # Fraction of HBM the talker KV cache may use (reference:
+    # gpu_memory_utilization, config.py:47). On TPU both models live in one
+    # process so there is no per-process memory-split planner
+    # (interface.py:57-197 is obsolete by design).
+    hbm_memory_utilization: float = 0.9
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    enforce_eager: bool = False  # disable bucketed-jit warmup (debug only)
+    eos: int = 2150  # talker codec EOS (hard-coded in reference interface.py:1233)
+    kvcache_block_size: int = 128
+    num_kvcache_blocks: int = -1  # -1 = size from free HBM at startup
+    # Max concurrent streaming requests resident in the decode pool. Bounds
+    # the device-side trailing-text-hidden pool (engine/runner.py).
+    max_active_streams: int = 64
+    # Batch-size buckets for the fused decode frame step; every live batch is
+    # padded up to the next bucket so each bucket compiles exactly once
+    # (replaces the reference's CUDA-graph capture families, §2.9 N3).
+    decode_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+    # Token buckets for talker prefill (reference captures 256 CUDA graphs,
+    # talker_mode_runner.py:194-234; we compile ~6 XLA programs instead).
+    prefill_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024)
+    # Weight quantization: None | "int8"
+    quantization: Optional[str] = None
+    # KV cache dtype: "bf16" | "int8"
+    kv_cache_dtype: str = "bf16"
+
+    def __post_init__(self):
+        # Power-of-two block size; (kv_heads, head_dim) are the tiled minor
+        # dims of the cache layout, so block_size itself is unconstrained by
+        # TPU tiling (unlike the reference's %256 Triton requirement,
+        # reference config.py:60).
+        bs = self.kvcache_block_size
+        assert bs >= 4 and (bs & (bs - 1)) == 0, "block size must be a power of two"
+        assert 1 <= self.tensor_parallel_size <= 64
+        assert self.max_num_batched_tokens >= self.max_model_len
+        assert self.max_model_len % self.kvcache_block_size == 0
+        if self.quantization is not None:
+            assert self.quantization in ("int8",)
+        assert self.kv_cache_dtype in ("bf16", "int8")
+
+    @property
+    def max_blocks_per_seq(self) -> int:
+        return _cdiv(self.max_model_len, self.kvcache_block_size)
+
+
+# ---------------------------------------------------------------------------
+# Model configs (parsed from checkpoint config.json)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CodePredictorConfig:
+    """Predictor ("MTP") transformer config.
+
+    Reference: Qwen3TTSTalkerCodePredictorConfig (config.py:171-359).
+    Defaults match the 1.7B family: 5 layers, 1024 hidden, 16/8 heads,
+    head_dim 128, vocab 2048, 16 code groups.
+    """
+
+    vocab_size: int = 2048
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 5
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    attention_bias: bool = False
+    max_position_embeddings: int = 32768
+    num_code_groups: int = 16  # codebooks 1..15 come from this model
+    talker_hidden_size: int = 1024
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CodePredictorConfig":
+        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+
+@dataclass
+class TalkerConfig:
+    """Talker transformer config.
+
+    Reference: Qwen3TTSTalkerConfig (config.py:362-561). Defaults match the
+    1.7B family: 20 layers, 1024 hidden, 16/2 heads, codec vocab 3072,
+    text vocab 151936 at dim 2048.
+    """
+
+    vocab_size: int = 3072
+    hidden_size: int = 1024
+    intermediate_size: int = 2048
+    num_hidden_layers: int = 20
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 2
+    head_dim: Optional[int] = None  # None -> hidden_size // num_attention_heads
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    attention_bias: bool = False
+    max_position_embeddings: int = 32768
+    num_code_groups: int = 16
+    text_vocab_size: int = 151936
+    text_hidden_size: int = 2048
+    # Codec control-token ids (config.py:498-507).
+    codec_eos_token_id: int = 4198
+    codec_think_id: int = 4202
+    codec_nothink_id: int = 4203
+    codec_think_bos_id: int = 4204
+    codec_think_eos_id: int = 4205
+    codec_pad_id: int = 4196
+    codec_bos_id: int = 4197
+    spk_id: Optional[dict] = None           # speaker name -> codec row id
+    spk_is_dialect: Optional[dict] = None   # speaker name -> dialect name
+    codec_language_id: Optional[dict] = None  # language name -> codec row id
+    code_predictor_config: CodePredictorConfig = field(
+        default_factory=CodePredictorConfig
+    )
+
+    def __post_init__(self):
+        if isinstance(self.code_predictor_config, dict):
+            self.code_predictor_config = CodePredictorConfig.from_dict(
+                self.code_predictor_config
+            )
+        # Predictor codec-embedding tables live at talker hidden dim
+        # (qwen3_tts_predictor.py:22,26-28).
+        self.code_predictor_config.talker_hidden_size = self.hidden_size
+        if self.spk_id is None:
+            self.spk_id = {}
+        if self.spk_is_dialect is None:
+            self.spk_is_dialect = {}
+        if self.codec_language_id is None:
+            self.codec_language_id = {}
+        if self.rope_scaling is not None and "type" in self.rope_scaling:
+            self.rope_scaling.setdefault("rope_type", self.rope_scaling["type"])
+
+    @property
+    def actual_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def attention_scaling(self) -> float:
+        """mrope collapses to 1-D RoPE with a cos/sin scale factor.
+
+        The reference's TalkerRotaryEmbedding (rotary_embedding.py:150-212)
+        receives positions broadcast identically over the three mrope
+        sections, so the 3-D rotation degenerates to standard 1-D RoPE
+        scaled by ``attention_scaling`` — we implement exactly that.
+        """
+        if self.rope_scaling and "attention_scaling" in self.rope_scaling:
+            return float(self.rope_scaling["attention_scaling"])
+        return 1.0
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TalkerConfig":
+        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+
+@dataclass
+class SpeakerEncoderConfig:
+    """ECAPA-TDNN speaker encoder config (config.py:121-168)."""
+
+    mel_dim: int = 128
+    enc_dim: int = 1024
+    enc_channels: tuple = (512, 512, 512, 512, 1536)
+    enc_kernel_sizes: tuple = (5, 3, 3, 3, 1)
+    enc_dilations: tuple = (1, 2, 3, 4, 1)
+    enc_attention_channels: int = 128
+    enc_res2net_scale: int = 8
+    enc_se_channels: int = 128
+    sample_rate: int = 24000
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SpeakerEncoderConfig":
+        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        for key in ("enc_channels", "enc_kernel_sizes", "enc_dilations"):
+            if key in known and isinstance(known[key], list):
+                known[key] = tuple(known[key])
+        return cls(**known)
+
+
+@dataclass
+class Qwen3TTSConfig:
+    """Top-level model config (config.py:564-610)."""
+
+    talker_config: TalkerConfig = field(default_factory=TalkerConfig)
+    speaker_encoder_config: SpeakerEncoderConfig = field(
+        default_factory=SpeakerEncoderConfig
+    )
+    tokenizer_type: Optional[str] = None
+    tts_model_size: Optional[str] = None
+    tts_model_type: Optional[str] = None
+    im_start_token_id: int = 151644
+    im_end_token_id: int = 151645
+    tts_pad_token_id: int = 151671
+    tts_bos_token_id: int = 151672
+    tts_eos_token_id: int = 151673
+
+    def __post_init__(self):
+        if isinstance(self.talker_config, dict):
+            self.talker_config = TalkerConfig.from_dict(self.talker_config)
+        if isinstance(self.speaker_encoder_config, dict):
+            self.speaker_encoder_config = SpeakerEncoderConfig.from_dict(
+                self.speaker_encoder_config
+            )
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Qwen3TTSConfig":
+        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "Qwen3TTSConfig":
+        with open(os.path.join(model_path, "config.json")) as f:
+            return cls.from_dict(json.load(f))
+
+
+# Preset configs for the two published model sizes. The 1.7B preset matches
+# the reference defaults (config.py:288-313,473-508); the 0.6B preset scales
+# the talker down (no instruct support per utils/prompt.py:52-54).
+def preset_config(name: str) -> Qwen3TTSConfig:
+    name = name.lower()
+    if name in ("1.7b", "1_7b", "17"):
+        return Qwen3TTSConfig(tts_model_size="1.7b")
+    if name in ("0.6b", "0_6b", "06"):
+        talker = TalkerConfig(
+            hidden_size=768,
+            intermediate_size=1536,
+            num_hidden_layers=16,
+            num_attention_heads=12,
+            num_key_value_heads=2,
+            head_dim=64,
+            code_predictor_config=CodePredictorConfig(
+                hidden_size=768,
+                intermediate_size=2304,
+                num_hidden_layers=4,
+                num_attention_heads=12,
+                num_key_value_heads=6,
+                head_dim=64,
+            ),
+        )
+        return Qwen3TTSConfig(talker_config=talker, tts_model_size="0.6b")
+    # Tiny config for tests: real structure, toy sizes.
+    if name in ("tiny", "test"):
+        talker = TalkerConfig(
+            vocab_size=4300,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            text_vocab_size=512,
+            text_hidden_size=96,
+            code_predictor_config=CodePredictorConfig(
+                vocab_size=128,
+                hidden_size=64,
+                intermediate_size=128,
+                num_hidden_layers=2,
+                num_attention_heads=4,
+                num_key_value_heads=2,
+                head_dim=16,
+            ),
+        )
+        return Qwen3TTSConfig(talker_config=talker, tts_model_size="tiny")
+    raise ValueError(f"unknown preset {name!r}")

@@ -1,0 +1,164 @@
+"""Continuous-batching scheduler for the talker stream.
+
+Parity with the reference's Scheduler/TalkerScheduler
+(engine/scheduler.py:8-79, engine/llm_engine/talker_llm_engine.py:11-83):
+
+* prefill-first admission bounded by ``max_num_seqs`` /
+  ``max_num_batched_tokens`` / free blocks;
+* decode schedules only sequences whose ``decode_input_embeds`` the caller
+  has fed (caller-driven decode — one engine step per codec frame);
+* preemption: evict the most recent running sequence when blocks run out;
+* ``request_id -> Sequence`` tracking with ``clear_request`` for cancel.
+
+The predictor needs no scheduler here: its whole 17-token run is one fused
+scan inside the frame step (see engine/runner.py), which is the TPU answer
+to the reference's separate predictor engine + worker process.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+from nano_qwen3tts_tpu.config import EngineConfig
+from nano_qwen3tts_tpu.engine.block_manager import BlockManager
+from nano_qwen3tts_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+class Scheduler:
+    def __init__(self, config: EngineConfig, num_kvcache_blocks: Optional[int] = None):
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos = config.eos
+        n_blocks = num_kvcache_blocks or config.num_kvcache_blocks
+        assert n_blocks > 1, "num_kvcache_blocks must be set before scheduling"
+        self.block_manager = BlockManager(n_blocks, config.kvcache_block_size)
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+        self.request_id_to_seq: dict[str, Sequence] = {}
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def add(self, seq: Sequence):
+        if seq.request_id is not None:
+            self.request_id_to_seq[seq.request_id] = seq
+        self.waiting.append(seq)
+
+    def feed_decode(self, request_id: str, embeds) -> bool:
+        """Feed the next-frame embedding for a live request.
+
+        Mirrors TalkerLLMEngine.add_request's repeat-call routing
+        (talker_llm_engine.py:102-105). Returns False if unknown request.
+        """
+        seq = self.request_id_to_seq.get(request_id)
+        if seq is None:
+            return False
+        seq.decode_input_embeds = embeds
+        return True
+
+    def clear_request(self, request_id: str):
+        seq = self.request_id_to_seq.pop(request_id, None)
+        if seq is None:
+            return
+        self.block_manager.deallocate(seq.block_table)
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq in self.waiting:
+            self.waiting.remove(seq)
+        seq.status = SequenceStatus.FINISHED
+
+    # -- scheduling ---------------------------------------------------------
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        """Return (sequences, is_prefill). Empty list = nothing runnable."""
+        scheduled: list[Sequence] = []
+        num_seqs = 0
+        num_tokens = 0
+        # Prefill admission (reference scheduler.py:29-48).
+        while self.waiting and num_seqs < self.max_num_seqs:
+            seq = self.waiting[0]
+            n_blocks = seq.blocks_for(seq.prompt_len)
+            if (
+                num_tokens + seq.prompt_len > self.max_num_batched_tokens
+                or not self.block_manager.can_allocate(n_blocks)
+            ):
+                break
+            num_seqs += 1
+            seq.block_table, _ = self.block_manager.allocate_prefill(seq.prompt_len)
+            num_tokens += seq.prompt_len
+            seq.status = SequenceStatus.RUNNING
+            self.waiting.popleft()
+            self.running.append(seq)
+            scheduled.append(seq)
+        if scheduled:
+            return scheduled, True
+
+        # Decode: only sequences with a caller-fed embedding
+        # (talker_llm_engine.py:35-59).
+        for _ in range(len(self.running)):
+            if not self.running or num_seqs >= self.max_num_seqs:
+                break
+            seq = self.running.popleft()
+            if seq.decode_input_embeds is None:
+                self.running.append(seq)
+                continue
+            while not self.block_manager.can_append(seq.kv_len, seq.block_table):
+                if self.running:
+                    self.preempt(self.running.pop())
+                else:
+                    self.preempt(seq)
+                    break
+            else:
+                num_seqs += 1
+                self.block_manager.may_append(seq.kv_len, seq.block_table)
+                scheduled.append(seq)
+        if not scheduled:
+            return [], False
+        self.running.extendleft(reversed(scheduled))
+        return scheduled, False
+
+    def preempt(self, seq: Sequence):
+        """Evict a sequence back to WAITING, dropping its KV.
+
+        NOTE (same caveat as the reference): a preempted caller-driven
+        sequence restarts from its *prompt* embeddings; frames already
+        yielded are not re-derivable, so the engine treats preemption of a
+        live stream as a request failure and surfaces it (reference silently
+        regenerates, which desynchronizes the stream — scheduler.py:68-71).
+        """
+        seq.status = SequenceStatus.WAITING
+        seq.decode_input_embeds = None
+        self.block_manager.deallocate(seq.block_table)
+        self.waiting.appendleft(seq)
+
+    # -- postprocess --------------------------------------------------------
+
+    def postprocess_prefill(self, seqs: list[Sequence], token_ids: list[int]):
+        for seq, tok in zip(seqs, token_ids):
+            seq.kv_len = seq.prompt_len
+            seq.last_token = tok
+            self._maybe_finish(seq, tok)
+
+    def postprocess_decode(self, seqs: list[Sequence], token_ids: list[int]):
+        for seq, tok in zip(seqs, token_ids):
+            seq.kv_len += 1
+            seq.last_token = tok
+            seq.decode_input_embeds = None
+            self._maybe_finish(seq, tok)
+
+    def _maybe_finish(self, seq: Sequence, tok: int):
+        eos = not seq.ignore_eos and tok == self.eos
+        over = seq.max_frames and seq.frames_emitted + 1 >= seq.max_frames
+        # Caller-driven (request-tracked) sequences finish only on EOS
+        # (talker_llm_engine.py:74-77); bounded ones also on max_frames.
+        if eos or (seq.request_id is None and over):
+            self.finish(seq)
+
+    def finish(self, seq: Sequence):
+        seq.status = SequenceStatus.FINISHED
+        if seq.request_id is not None:
+            self.request_id_to_seq.pop(seq.request_id, None)
+        self.block_manager.deallocate(seq.block_table)
+        if seq in self.running:
+            self.running.remove(seq)
