@@ -1,0 +1,83 @@
+"""Paged KV-cache device layout and slot writes.
+
+TPU-native replacement for the reference's Triton ``store_kvcache_kernel``
+(layers/attention.py:10-54): instead of a CUDA scatter kernel, KV rows are
+written with XLA scatter (``.at[slots].set``) inside the jitted step, which
+Mosaic lowers to dynamic-update-slices — no separate kernel launch, and it
+fuses into the surrounding step program.
+
+Layout: one cache per model, ``[num_layers, num_slots, kv_heads, head_dim]``
+with ``num_slots = num_blocks * block_size`` flat slot addressing. The minor
+dims ``(kv_heads, head_dim)`` are the TPU-tiled dims; block structure is a
+pure indexing convention (``slot = block_id * block_size + offset``), so the
+same buffer serves the XLA gather fallback and the Pallas paged kernel
+(ops/attention.py) without relayout.
+
+Block id 0 is the garbage block (engine/block_manager.py): padded lanes write
+there and their values are never read back (their kv_len mask excludes them).
+This removes all data-dependent control flow from the fused frame step — the
+TPU equivalent of the reference's masked Triton store + CUDA-graph static
+buffers (§2.9 N1/N3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def make_kv_cache(
+    num_layers: int,
+    num_blocks: int,
+    block_size: int,
+    kv_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    shape = (num_layers, num_blocks * block_size, kv_heads, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def write_kv(
+    k_cache_l: jax.Array,  # [S, Hkv, d]  (single layer)
+    v_cache_l: jax.Array,
+    k: jax.Array,  # [N, Hkv, d] new rows
+    v: jax.Array,
+    slots: jax.Array,  # [N] int32 flat slot ids (garbage slots for pads)
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter N new KV rows into one layer's cache at ``slots``."""
+    k_cache_l = k_cache_l.at[slots].set(k.astype(k_cache_l.dtype), mode="drop")
+    v_cache_l = v_cache_l.at[slots].set(v.astype(v_cache_l.dtype), mode="drop")
+    return k_cache_l, v_cache_l
+
+
+def gather_kv(
+    k_cache_l: jax.Array,  # [S, Hkv, d]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [B, NB] int32
+    block_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Materialize per-sequence KV windows ``[B, NB*block_size, Hkv, d]``.
+
+    XLA fallback path for paged decode attention; the Pallas kernel reads
+    blocks directly from HBM instead (no materialization).
+    """
+    B, NB = block_tables.shape
+    offsets = jnp.arange(block_size, dtype=jnp.int32)
+    slots = (block_tables[:, :, None] * block_size + offsets[None, None, :]).reshape(
+        B, NB * block_size
+    )
+    return k_cache_l[slots], v_cache_l[slots]
+
+
+def prefill_slot_mapping(block_table: list[int], num_tokens: int, block_size: int):
+    """Host-side helper: flat slots for positions 0..num_tokens-1.
+
+    Mirrors reference prepare_prefill's slot construction
+    (engine/model_runner/base.py:193-201).
+    """
+    import numpy as np
+
+    pos = np.arange(num_tokens)
+    blocks = np.asarray(block_table, dtype=np.int64)[pos // block_size]
+    return (blocks * block_size + pos % block_size).astype(np.int32)
