@@ -1,0 +1,278 @@
+"""TTSEngine: continuous-batching engine for the two-stage TTS pipeline.
+
+Single-process equivalent of the reference's entire multiprocess stack —
+TalkerLLMEngine + PredictorLLMEngine + their worker processes + the ZMQ
+client bridge + the asyncio orchestrator loops (engine/llm_engine/*,
+workers/*, zmq/engine_loop_mp.py, interface.py:1184-1308). One engine step
+== one codec frame for every live request:
+
+    schedule -> fused frame step on device -> stream frames to per-request
+    asyncio queues -> repeat.
+
+The caller-driven decode gating of the reference (the interface had to feed
+each next-frame embedding over ZMQ) disappears: the next input embedding is
+computed inside the fused step and stays on device, so every live request is
+always decode-ready. What remains host-side per frame: EOS checks on the
+[B, 16] token transfer and int32 metadata assembly.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import uuid
+from typing import AsyncGenerator, Optional
+
+import numpy as np
+
+from nano_qwen3tts_tpu.config import EngineConfig, Qwen3TTSConfig
+from nano_qwen3tts_tpu.engine.runner import Runner
+from nano_qwen3tts_tpu.engine.scheduler import Scheduler
+from nano_qwen3tts_tpu.engine.sequence import Sequence, SequenceStatus
+
+logger = logging.getLogger(__name__)
+
+# Sentinel: decode input lives in the device embed pool (engine/runner.py).
+DEVICE_RESIDENT = object()
+
+
+class TTSEngine:
+    def __init__(
+        self,
+        engine_config: EngineConfig,
+        model_config: Qwen3TTSConfig,
+        talker_params: dict,
+        predictor_params: dict,
+        tts_pad_embed: Optional[np.ndarray] = None,
+        num_kvcache_blocks: Optional[int] = None,
+    ):
+        self.cfg = engine_config
+        self.mcfg = model_config
+        self.runner = Runner(
+            engine_config,
+            model_config,
+            talker_params,
+            predictor_params,
+            num_kvcache_blocks=num_kvcache_blocks,
+        )
+        self.scheduler = Scheduler(
+            engine_config, num_kvcache_blocks=self.runner.num_blocks
+        )
+        if tts_pad_embed is not None:
+            self.runner.set_tts_pad(np.asarray(tts_pad_embed))
+        # async plumbing
+        self._queues: dict[str, asyncio.Queue] = {}
+        self._loop_task: Optional[asyncio.Task] = None
+        self._wake: Optional[asyncio.Event] = None
+        self._stopping = False
+        self.prefill_collect_s = float(os.environ.get("PREFILL_COLLECT_MS", "0")) / 1e3
+
+    # ------------------------------------------------------------------
+    # request lifecycle
+    # ------------------------------------------------------------------
+
+    def add_request(
+        self,
+        prompt_embeds: np.ndarray,  # [L, D] float
+        trailing_hiddens: Optional[np.ndarray] = None,  # [T, D]
+        request_id: Optional[str] = None,
+        talker_temperature: float = 1.0,
+        predictor_temperature: float = 0.9,
+        max_frames: int = 0,
+        seed: int = 0,
+    ) -> str:
+        request_id = request_id or str(uuid.uuid4())
+        prompt_embeds = np.asarray(prompt_embeds, np.float32)
+        if prompt_embeds.ndim == 3:
+            prompt_embeds = prompt_embeds[0]
+        assert prompt_embeds.shape[0] <= self.cfg.max_model_len, "prompt too long"
+        seq = Sequence(
+            prompt_embeds,
+            temperature=talker_temperature,
+            max_frames=max_frames,
+            request_id=request_id,
+            block_size=self.cfg.kvcache_block_size,
+            seed=seed,
+        )
+        seq.predictor_temperature = predictor_temperature
+        seq.pool_slot = self.runner.acquire_pool_slot(
+            np.asarray(trailing_hiddens, np.float32)
+            if trailing_hiddens is not None
+            else None
+        )
+        self.scheduler.add(seq)
+        return request_id
+
+    def clear_request(self, request_id: str):
+        seq = self.scheduler.request_id_to_seq.get(request_id)
+        if seq is not None and seq.pool_slot > 0:
+            self.runner.release_pool_slot(seq.pool_slot)
+            seq.pool_slot = -1
+        self.scheduler.clear_request(request_id)
+
+    def has_work(self) -> bool:
+        return not self.scheduler.is_finished()
+
+    # ------------------------------------------------------------------
+    # synchronous stepping (offline / bench / tests)
+    # ------------------------------------------------------------------
+
+    def step(self) -> list[tuple[str, Optional[list[int]], bool]]:
+        """Run one engine step.
+
+        Returns [(request_id, frame_or_None, finished)] for every scheduled
+        sequence. frame is the 16-entry codebook list; None on EOS.
+        """
+        seqs, is_prefill = self.scheduler.schedule()
+        if not seqs:
+            return []
+        max_bucket = self.cfg.decode_buckets[-1]
+        chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]
+        frames = np.concatenate(
+            [
+                self.runner.run_prefill(c) if is_prefill else self.runner.run_decode(c)
+                for c in chunks
+            ],
+            axis=0,
+        )
+        if is_prefill:
+            self.scheduler.postprocess_prefill(seqs, list(frames[:, 0]))
+        else:
+            self.scheduler.postprocess_decode(seqs, list(frames[:, 0]))
+        out = []
+        for i, seq in enumerate(seqs):
+            cb0 = int(frames[i, 0])
+            hit_eos = not seq.ignore_eos and cb0 == self.cfg.eos
+            if hit_eos:
+                self._finish_seq(seq)
+                out.append((seq.request_id, None, True))
+                continue
+            seq.frames_emitted += 1
+            # All live requests are immediately decode-ready (the next input
+            # embedding was computed on device by the fused step).
+            seq.decode_input_embeds = DEVICE_RESIDENT
+            finished = False
+            if seq.max_frames and seq.frames_emitted >= seq.max_frames:
+                finished = True
+            elif seq.kv_len + 1 > self.cfg.max_model_len:
+                logger.warning(
+                    "request %s hit max_model_len, force-finishing", seq.request_id
+                )
+                finished = True
+            if finished:
+                self._finish_seq(seq)
+            out.append((seq.request_id, [int(t) for t in frames[i]], finished))
+        return out
+
+    def _finish_seq(self, seq: Sequence):
+        if seq.pool_slot > 0:
+            self.runner.release_pool_slot(seq.pool_slot)
+            seq.pool_slot = -1
+        if not seq.is_finished:
+            self.scheduler.finish(seq)
+
+    def generate(
+        self,
+        prompt_embeds: np.ndarray,
+        trailing_hiddens: Optional[np.ndarray] = None,
+        max_frames: int = 0,
+        **kw,
+    ):
+        """Blocking single-request generator (offline path; the reference's
+        sync generators raise — interface.py:753,1122 — ours works)."""
+        rid = self.add_request(
+            prompt_embeds, trailing_hiddens, max_frames=max_frames, **kw
+        )
+        alive = True
+        while alive:
+            results = self.step()
+            if not results:
+                break
+            for req_id, frame, finished in results:
+                if req_id != rid:
+                    continue
+                if frame is not None:
+                    yield frame
+                if finished:
+                    alive = False
+
+    # ------------------------------------------------------------------
+    # async streaming API
+    # ------------------------------------------------------------------
+
+    async def start(self):
+        """Start the background engine loop (replaces start_zmq_tasks,
+        interface.py:1081-1105 — no worker processes to spawn)."""
+        if self._loop_task is not None:
+            return
+        self._wake = asyncio.Event()
+        self._stopping = False
+        self._loop_task = asyncio.create_task(self._engine_loop())
+
+    async def stop(self):
+        self._stopping = True
+        if self._wake:
+            self._wake.set()
+        if self._loop_task:
+            await self._loop_task
+            self._loop_task = None
+
+    async def _engine_loop(self):
+        loop = asyncio.get_running_loop()
+        while not self._stopping:
+            if not self.has_work():
+                self._wake.clear()
+                await self._wake.wait()
+                continue
+            if self.prefill_collect_s and self.scheduler.waiting:
+                # batch near-simultaneous arrivals into one prefill
+                # (reference PREFILL_COLLECT_MS, zmq/engine_loop_mp.py:44-53)
+                await asyncio.sleep(self.prefill_collect_s)
+            results = await loop.run_in_executor(None, self.step)
+            for req_id, frame, finished in results:
+                q = self._queues.get(req_id)
+                if q is None:
+                    continue
+                if frame is not None:
+                    q.put_nowait(frame)
+                if finished:
+                    q.put_nowait(None)
+            if not results:
+                await asyncio.sleep(0)
+
+    def _kick(self):
+        if self._wake is not None:
+            self._wake.set()
+
+    async def generate_async(
+        self,
+        prompt_embeds: np.ndarray,
+        trailing_hiddens: Optional[np.ndarray] = None,
+        request_id: Optional[str] = None,
+        max_frames: int = 0,
+        **kw,
+    ) -> AsyncGenerator[list[int], None]:
+        """Async generator of 16-entry codec frames (parity:
+        interface.generate_async, interface.py:1184-1308)."""
+        assert self._loop_task is not None, "call await engine.start() first"
+        request_id = request_id or str(uuid.uuid4())
+        q: asyncio.Queue = asyncio.Queue()
+        self._queues[request_id] = q
+        try:
+            self.add_request(
+                prompt_embeds,
+                trailing_hiddens,
+                request_id=request_id,
+                max_frames=max_frames,
+                **kw,
+            )
+            self._kick()
+            while True:
+                frame = await q.get()
+                if frame is None:
+                    break
+                yield frame
+        finally:
+            self.clear_request(request_id)
+            self._queues.pop(request_id, None)

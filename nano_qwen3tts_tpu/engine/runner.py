@@ -1,0 +1,424 @@
+"""Device execution: fused frame steps with bucketed jit compilation.
+
+This is the TPU replacement for the reference's entire device layer —
+TalkerModeModelRunner + PredictorModelRunner + their five CUDA-graph capture
+families + the per-frame ZMQ ping-pong between worker processes
+(engine/model_runner/*.py, workers/*.py, zmq/engine_loop_mp.py):
+
+  ONE jitted "frame step" per batch bucket runs, on device, the whole
+  per-frame pipeline of interface.py:1210-1299:
+
+    talker decode (paged KV)          -> sample cb0 (temp 1.0, top-k 50)
+    -> talker codec embedding of cb0  -> predictor prefill [hidden, emb(cb0)]
+    -> 15-step predictor scan         -> sample cb1..cb15 (temp 0.9)
+    -> next talker input embedding    (sum of 16 codebook embeds
+                                       + trailing text hidden or tts-pad)
+
+  The only host<->device traffic per frame is the [B, 16] token transfer
+  (needed anyway to stream codes) and the tiny int32 metadata arrays; the
+  next talker input embedding never leaves the device — it lives in a
+  per-request device pool row.
+
+Bucketing replaces CUDA graphs (§2.9 N3): batch size is padded to the next
+bucket so each bucket compiles exactly once. Padded lanes write their KV to
+the reserved garbage block and their pool writes to the reserved garbage
+pool row; no data-dependent shapes ever reach XLA.
+
+Device-resident pools (pool row 0 reserved as garbage):
+  * ``embed_pool [P, D]``        — next talker input embedding per request
+  * ``trail_pool [P, Lt, D]``    — trailing text hiddens, padded with the
+    tts-pad embedding (prepare_inputs pads the same way, reference
+    utils/generation.py:354-372)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nano_qwen3tts_tpu.config import EngineConfig, Qwen3TTSConfig
+from nano_qwen3tts_tpu.engine.sequence import Sequence
+from nano_qwen3tts_tpu.models.predictor import predictor_frame, predictor_spec
+from nano_qwen3tts_tpu.models.talker import talker_decode, talker_prefill, talker_spec
+from nano_qwen3tts_tpu.models.transformer import AttnSpec, linear
+from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache, prefill_slot_mapping
+from nano_qwen3tts_tpu.ops.sampling_ops import sample_top_k
+
+GARBAGE_POOL_ROW = 0
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class StepResult:
+    """Host-side result of one fused frame step."""
+
+    frames: np.ndarray  # [B, 16] int32 codec tokens (cb0..cb15)
+    # EOS = frames[:, 0] == eos — the engine interprets.
+
+
+class Runner:
+    def __init__(
+        self,
+        engine_config: EngineConfig,
+        model_config: Qwen3TTSConfig,
+        talker_params: dict,
+        predictor_params: dict,
+        num_kvcache_blocks: Optional[int] = None,
+        trail_pool_len: Optional[int] = None,
+    ):
+        self.cfg = engine_config
+        self.mcfg = model_config
+        tc = model_config.talker_config
+        self.tspec: AttnSpec = talker_spec(tc)
+        self.pspec: AttnSpec = predictor_spec(tc.code_predictor_config)
+        self.tparams = talker_params
+        self.pparams = predictor_params
+        self.dtype = talker_params["norm"].dtype
+        self.D = tc.hidden_size
+        self.block_size = engine_config.kvcache_block_size
+        self.NB = engine_config.max_blocks_per_seq
+        self.eos = engine_config.eos
+
+        self.num_blocks = num_kvcache_blocks or self._auto_num_blocks()
+        self.k_cache, self.v_cache = make_kv_cache(
+            tc.num_hidden_layers,
+            self.num_blocks,
+            self.block_size,
+            tc.num_key_value_heads,
+            self.tspec.head_dim,
+            jnp.bfloat16 if self.dtype == jnp.bfloat16 else self.dtype,
+        )
+
+        # Pools (row 0 = garbage lane).
+        self.P = engine_config.max_active_streams + 1
+        self.Lt = trail_pool_len or engine_config.max_model_len
+        self.tts_pad_vec = None  # set via set_tts_pad (prep layer provides it)
+        self.embed_pool = jnp.zeros((self.P, self.D), self.dtype)
+        self.trail_pool = jnp.zeros((self.P, self.Lt, self.D), self.dtype)
+        self._free_pool_slots = list(range(1, self.P))
+
+        self.base_key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        self._step_counter = 0
+        self._decode_fns: dict[int, callable] = {}
+        self._prefill_fns: dict[tuple[int, int], callable] = {}
+
+    # ------------------------------------------------------------------
+    # capacity planning (replaces reference allocate_kv_cache,
+    # engine/model_runner/base.py:131-164, and the cross-process memory
+    # split planner interface.py:57-197 — one process, one budget)
+    # ------------------------------------------------------------------
+
+    def _auto_num_blocks(self) -> int:
+        tc = self.mcfg.talker_config
+        bytes_per_block = (
+            2  # k + v
+            * tc.num_hidden_layers
+            * self.block_size
+            * tc.num_key_value_heads
+            * self.tspec.head_dim
+            * 2  # bf16
+        )
+        budget = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                budget = (
+                    stats["bytes_limit"] * self.cfg.hbm_memory_utilization
+                    - stats.get("bytes_in_use", 0)
+                )
+        except Exception:
+            pass
+        if budget is None or budget <= 0:
+            # CPU / unknown backend: size for max_num_seqs at max_model_len,
+            # capped to something sane for tests.
+            cap = min(self.cfg.max_num_seqs, 64) * self.cfg.max_blocks_per_seq
+            return max(cap, 8)
+        n = int(budget // bytes_per_block)
+        n = min(n, self.cfg.max_num_seqs * self.cfg.max_blocks_per_seq + 1)
+        return max(n, 8)
+
+    # ------------------------------------------------------------------
+    # pool management
+    # ------------------------------------------------------------------
+
+    def set_tts_pad(self, tts_pad: np.ndarray):
+        """Install the tts-pad embedding and re-fill the trailing pool.
+
+        tts_pad is weight-derived (text_projection(text_embedding(pad_id)))
+        so it is identical for every request; the pool's padding rows hold it
+        permanently and per-request writes only touch real trailing rows.
+        """
+        self.tts_pad_vec = jnp.asarray(tts_pad, self.dtype).reshape(self.D)
+        self.trail_pool = jnp.broadcast_to(
+            self.tts_pad_vec, (self.P, self.Lt, self.D)
+        ).astype(self.dtype)
+        # embed pool rows start at zero; they are always written before read.
+
+    def acquire_pool_slot(self, trailing: Optional[np.ndarray]) -> int:
+        """Assign a pool row and load its trailing hiddens. trailing: [T, D]."""
+        if not self._free_pool_slots:
+            raise RuntimeError("no free stream slots (max_active_streams)")
+        slot = self._free_pool_slots.pop()
+        if trailing is not None and trailing.shape[0] > 0:
+            t = jnp.asarray(trailing[: self.Lt], self.dtype)
+            self.trail_pool = self.trail_pool.at[slot, : t.shape[0]].set(t)
+            self._dirty_rows = getattr(self, "_dirty_rows", {})
+            self._dirty_rows[slot] = int(t.shape[0])
+        return slot
+
+    def release_pool_slot(self, slot: int):
+        n = getattr(self, "_dirty_rows", {}).pop(slot, 0)
+        if n and self.tts_pad_vec is not None:
+            pad = jnp.broadcast_to(self.tts_pad_vec, (n, self.D))
+            self.trail_pool = self.trail_pool.at[slot, :n].set(pad)
+        self._free_pool_slots.append(slot)
+
+    # ------------------------------------------------------------------
+    # fused step functions
+    # ------------------------------------------------------------------
+
+    def _frame_tail(
+        self,
+        tparams,
+        pparams,
+        hidden,
+        logits,
+        trail_pool,
+        embed_pool,
+        pool_idx,
+        step_idx,
+        temps_t,
+        temps_p,
+        key,
+    ):
+        """Shared tail: sample cb0 -> predictor -> next-embed -> pool write."""
+        k1, k2 = jax.random.split(key)
+        cb0 = sample_top_k(logits, temps_t, k1)  # [B]
+        cb0_emb = tparams["codec_embedding"][cb0]  # [B, D]
+        toks, pred_sum = predictor_frame(
+            pparams, self.pspec, hidden, cb0_emb, temps_p, k2
+        )
+        sum16 = cb0_emb.astype(jnp.float32) + pred_sum.astype(jnp.float32)
+        trail = trail_pool[pool_idx, jnp.minimum(step_idx, self.Lt - 1)]
+        next_embed = (sum16 + trail.astype(jnp.float32)).astype(self.dtype)
+        embed_pool = embed_pool.at[pool_idx].set(next_embed)
+        frame = jnp.concatenate([cb0[:, None], toks], axis=1)  # [B, 16]
+        return frame, embed_pool
+
+    def _build_decode_fn(self):
+        tspec, block_size = self.tspec, self.block_size
+
+        def fn(
+            tparams,
+            pparams,
+            k_cache,
+            v_cache,
+            embed_pool,
+            trail_pool,
+            pool_idx,
+            positions,
+            slots,
+            block_tables,
+            kv_lens,
+            step_idx,
+            temps_t,
+            temps_p,
+            key,
+        ):
+            x = embed_pool[pool_idx]  # [B, D]
+            logits, hidden, k_cache, v_cache = talker_decode(
+                tparams, tspec, x, positions, slots, block_tables, kv_lens,
+                k_cache, v_cache, block_size,
+            )
+            frame, embed_pool = self._frame_tail(
+                tparams, pparams, hidden, logits, trail_pool, embed_pool,
+                pool_idx, step_idx, temps_t, temps_p, key,
+            )
+            return k_cache, v_cache, embed_pool, frame
+
+        return jax.jit(fn, donate_argnums=(2, 3, 4))
+
+    def _build_prefill_fn(self):
+        tspec = self.tspec
+
+        def fn(
+            tparams,
+            pparams,
+            k_cache,
+            v_cache,
+            embed_pool,
+            trail_pool,
+            embeds,  # [B, T, D]
+            positions,  # [B, T]
+            lengths,  # [B]
+            slots,  # [B*T]
+            pool_idx,
+            step_idx,
+            temps_t,
+            temps_p,
+            key,
+        ):
+            logits, hidden, k_cache, v_cache = talker_prefill(
+                tparams, tspec, embeds, positions, lengths, slots,
+                k_cache, v_cache,
+            )
+            frame, embed_pool = self._frame_tail(
+                tparams, pparams, hidden, logits, trail_pool, embed_pool,
+                pool_idx, step_idx, temps_t, temps_p, key,
+            )
+            return k_cache, v_cache, embed_pool, frame
+
+        return jax.jit(fn, donate_argnums=(2, 3, 4))
+
+    def _decode_fn(self, bucket: int):
+        if bucket not in self._decode_fns:
+            self._decode_fns[bucket] = self._build_decode_fn()
+        return self._decode_fns[bucket]
+
+    def _prefill_fn(self, bb: int, tb: int):
+        key = (bb, tb)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._build_prefill_fn()
+        return self._prefill_fns[key]
+
+    def _next_key(self):
+        self._step_counter += 1
+        return jax.random.fold_in(self.base_key, self._step_counter)
+
+    # ------------------------------------------------------------------
+    # host-side batch assembly
+    # ------------------------------------------------------------------
+
+    def run_prefill(self, seqs: list[Sequence]) -> np.ndarray:
+        """Run prefill + first frame for a batch. Returns frames [B, 16]."""
+        B = len(seqs)
+        max_len = max(s.prompt_len for s in seqs)
+        tb = _bucket(max_len, self.cfg.prefill_buckets)
+        bb = _bucket(B, self.cfg.decode_buckets)
+        embeds = np.zeros((bb, tb, self.D), np.float32)
+        lengths = np.zeros((bb,), np.int32)
+        slots = np.zeros((bb * tb,), np.int32)
+        pool_idx = np.full((bb,), GARBAGE_POOL_ROW, np.int32)
+        temps_t = np.ones((bb,), np.float32)
+        temps_p = np.full((bb,), 0.9, np.float32)
+        for i, s in enumerate(seqs):
+            L = s.prompt_len
+            embeds[i, :L] = s.input_embeds
+            lengths[i] = L
+            slots[i * tb : i * tb + L] = prefill_slot_mapping(
+                s.block_table, L, self.block_size
+            )
+            pool_idx[i] = s.pool_slot
+            temps_t[i] = s.temperature
+            temps_p[i] = getattr(s, "predictor_temperature", 0.9)
+        positions = np.broadcast_to(np.arange(tb, dtype=np.int32), (bb, tb))
+        step_idx = np.zeros((bb,), np.int32)  # first frame uses trailing[0]
+
+        fn = self._prefill_fn(bb, tb)
+        self.k_cache, self.v_cache, self.embed_pool, frame = fn(
+            self.tparams, self.pparams, self.k_cache, self.v_cache,
+            self.embed_pool, self.trail_pool,
+            jnp.asarray(embeds, self.dtype), jnp.asarray(positions),
+            jnp.asarray(lengths), jnp.asarray(slots), jnp.asarray(pool_idx),
+            jnp.asarray(step_idx), jnp.asarray(temps_t), jnp.asarray(temps_p),
+            self._next_key(),
+        )
+        return np.asarray(frame)[:B]
+
+    def run_decode(self, seqs: list[Sequence]) -> np.ndarray:
+        """Run one decode frame step for a batch. Returns frames [B, 16]."""
+        B = len(seqs)
+        bb = _bucket(B, self.cfg.decode_buckets)
+        pool_idx = np.full((bb,), GARBAGE_POOL_ROW, np.int32)
+        positions = np.ones((bb,), np.int32)
+        slots = np.zeros((bb,), np.int32)
+        tables = np.zeros((bb, self.NB), np.int32)
+        kv_lens = np.ones((bb,), np.int32)
+        step_idx = np.zeros((bb,), np.int32)
+        temps_t = np.ones((bb,), np.float32)
+        temps_p = np.full((bb,), 0.9, np.float32)
+        for i, s in enumerate(seqs):
+            pool_idx[i] = s.pool_slot
+            positions[i] = s.rope_position
+            slots[i] = s.next_slot
+            nt = len(s.block_table)
+            tables[i, :nt] = s.block_table
+            kv_lens[i] = s.kv_len + 1
+            step_idx[i] = s.frames_emitted
+            temps_t[i] = s.temperature
+            temps_p[i] = getattr(s, "predictor_temperature", 0.9)
+
+        fn = self._decode_fn(bb)
+        self.k_cache, self.v_cache, self.embed_pool, frame = fn(
+            self.tparams, self.pparams, self.k_cache, self.v_cache,
+            self.embed_pool, self.trail_pool,
+            jnp.asarray(pool_idx), jnp.asarray(positions), jnp.asarray(slots),
+            jnp.asarray(tables), jnp.asarray(kv_lens), jnp.asarray(step_idx),
+            jnp.asarray(temps_t), jnp.asarray(temps_p), self._next_key(),
+        )
+        return np.asarray(frame)[:B]
+
+    # ------------------------------------------------------------------
+
+    def warmup(self, decode_buckets=None, prefill_shapes=None, verbose=False):
+        """Pre-compile the hot buckets (replaces CUDA-graph capture and the
+        reference server's warmup ramp, examples/server.py:253-277)."""
+        decode_buckets = decode_buckets or self.cfg.decode_buckets
+        prefill_shapes = prefill_shapes or [
+            (1, t) for t in self.cfg.prefill_buckets
+        ]
+        for bb in decode_buckets:
+            t0 = time.time()
+            self._warm_decode(bb)
+            if verbose:
+                print(f"[warmup] decode bucket {bb}: {time.time()-t0:.1f}s")
+        for bb, tb in prefill_shapes:
+            t0 = time.time()
+            self._warm_prefill(bb, tb)
+            if verbose:
+                print(f"[warmup] prefill bucket ({bb},{tb}): {time.time()-t0:.1f}s")
+
+    def _warm_decode(self, bb: int):
+        fn = self._decode_fn(bb)
+        z = np.zeros
+        self.k_cache, self.v_cache, self.embed_pool, _ = fn(
+            self.tparams, self.pparams, self.k_cache, self.v_cache,
+            self.embed_pool, self.trail_pool,
+            jnp.asarray(z(bb, dtype=np.int32)),
+            jnp.ones(bb, dtype=jnp.int32),
+            jnp.asarray(z(bb, dtype=np.int32)),
+            jnp.asarray(z((bb, self.NB), dtype=np.int32)),
+            jnp.ones(bb, dtype=jnp.int32),
+            jnp.asarray(z(bb, dtype=np.int32)),
+            jnp.ones(bb, dtype=jnp.float32),
+            jnp.full((bb,), 0.9, jnp.float32),
+            self._next_key(),
+        )
+
+    def _warm_prefill(self, bb: int, tb: int):
+        fn = self._prefill_fn(bb, tb)
+        z = np.zeros
+        self.k_cache, self.v_cache, self.embed_pool, _ = fn(
+            self.tparams, self.pparams, self.k_cache, self.v_cache,
+            self.embed_pool, self.trail_pool,
+            jnp.asarray(z((bb, tb, self.D), np.float32), self.dtype),
+            jnp.broadcast_to(jnp.arange(tb, dtype=jnp.int32), (bb, tb)),
+            jnp.ones(bb, dtype=jnp.int32),
+            jnp.asarray(z(bb * tb, dtype=np.int32)),
+            jnp.asarray(z(bb, dtype=np.int32)),
+            jnp.asarray(z(bb, dtype=np.int32)),
+            jnp.ones(bb, dtype=jnp.float32),
+            jnp.full((bb,), 0.9, jnp.float32),
+            self._next_key(),
+        )
