@@ -1,0 +1,86 @@
+"""Pure-function factories for the fused frame steps.
+
+Factored out of the Runner so the same functions serve the engine, the
+multi-chip dry run, and compile checks. See engine/runner.py for the design
+narrative; these are the functions that replace the reference's CUDA-graph
+capture families and the per-frame ZMQ round trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nano_qwen3tts_tpu.models.predictor import predictor_frame
+from nano_qwen3tts_tpu.models.talker import talker_decode, talker_prefill
+from nano_qwen3tts_tpu.models.transformer import AttnSpec
+from nano_qwen3tts_tpu.ops.sampling_ops import sample_top_k
+
+
+def make_frame_tail(pspec: AttnSpec, trail_len: int, dtype):
+    def frame_tail(
+        tparams, pparams, hidden, logits, trail_pool, embed_pool,
+        pool_idx, step_idx, temps_t, temps_p, key,
+    ):
+        k1, k2 = jax.random.split(key)
+        cb0 = sample_top_k(logits, temps_t, k1)  # [B]
+        cb0_emb = tparams["codec_embedding"][cb0]  # [B, D]
+        toks, pred_sum = predictor_frame(
+            pparams, pspec, hidden, cb0_emb, temps_p, k2
+        )
+        sum16 = cb0_emb.astype(jnp.float32) + pred_sum.astype(jnp.float32)
+        trail = trail_pool[pool_idx, jnp.minimum(step_idx, trail_len - 1)]
+        next_embed = (sum16 + trail.astype(jnp.float32)).astype(dtype)
+        embed_pool = embed_pool.at[pool_idx].set(next_embed)
+        frame = jnp.concatenate([cb0[:, None], toks], axis=1)  # [B, 16]
+        return frame, embed_pool
+
+    return frame_tail
+
+
+def make_decode_step(
+    tspec: AttnSpec, pspec: AttnSpec, block_size: int, trail_len: int, dtype
+):
+    """One decode frame: talker decode (paged) -> cb0 -> predictor -> pools."""
+    frame_tail = make_frame_tail(pspec, trail_len, dtype)
+
+    def decode_step(
+        tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
+        pool_idx, positions, slots, block_tables, kv_lens,
+        step_idx, temps_t, temps_p, key,
+    ):
+        x = embed_pool[pool_idx]  # [B, D]
+        logits, hidden, k_cache, v_cache = talker_decode(
+            tparams, tspec, x, positions, slots, block_tables, kv_lens,
+            k_cache, v_cache, block_size,
+        )
+        frame, embed_pool = frame_tail(
+            tparams, pparams, hidden, logits, trail_pool, embed_pool,
+            pool_idx, step_idx, temps_t, temps_p, key,
+        )
+        return k_cache, v_cache, embed_pool, frame
+
+    return decode_step
+
+
+def make_prefill_step(
+    tspec: AttnSpec, pspec: AttnSpec, trail_len: int, dtype
+):
+    """Prefill + first frame: talker prefill -> cb0 -> predictor -> pools."""
+    frame_tail = make_frame_tail(pspec, trail_len, dtype)
+
+    def prefill_step(
+        tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
+        embeds, positions, lengths, slots,
+        pool_idx, step_idx, temps_t, temps_p, key,
+    ):
+        logits, hidden, k_cache, v_cache = talker_prefill(
+            tparams, tspec, embeds, positions, lengths, slots, k_cache, v_cache
+        )
+        frame, embed_pool = frame_tail(
+            tparams, pparams, hidden, logits, trail_pool, embed_pool,
+            pool_idx, step_idx, temps_t, temps_p, key,
+        )
+        return k_cache, v_cache, embed_pool, frame
+
+    return prefill_step

@@ -43,11 +43,10 @@ import numpy as np
 
 from nano_qwen3tts_tpu.config import EngineConfig, Qwen3TTSConfig
 from nano_qwen3tts_tpu.engine.sequence import Sequence
-from nano_qwen3tts_tpu.models.predictor import predictor_frame, predictor_spec
-from nano_qwen3tts_tpu.models.talker import talker_decode, talker_prefill, talker_spec
-from nano_qwen3tts_tpu.models.transformer import AttnSpec, linear
+from nano_qwen3tts_tpu.models.predictor import predictor_spec
+from nano_qwen3tts_tpu.models.talker import talker_spec
+from nano_qwen3tts_tpu.models.transformer import AttnSpec
 from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache, prefill_slot_mapping
-from nano_qwen3tts_tpu.ops.sampling_ops import sample_top_k
 
 GARBAGE_POOL_ROW = 0
 
@@ -188,97 +187,18 @@ class Runner:
     # fused step functions
     # ------------------------------------------------------------------
 
-    def _frame_tail(
-        self,
-        tparams,
-        pparams,
-        hidden,
-        logits,
-        trail_pool,
-        embed_pool,
-        pool_idx,
-        step_idx,
-        temps_t,
-        temps_p,
-        key,
-    ):
-        """Shared tail: sample cb0 -> predictor -> next-embed -> pool write."""
-        k1, k2 = jax.random.split(key)
-        cb0 = sample_top_k(logits, temps_t, k1)  # [B]
-        cb0_emb = tparams["codec_embedding"][cb0]  # [B, D]
-        toks, pred_sum = predictor_frame(
-            pparams, self.pspec, hidden, cb0_emb, temps_p, k2
-        )
-        sum16 = cb0_emb.astype(jnp.float32) + pred_sum.astype(jnp.float32)
-        trail = trail_pool[pool_idx, jnp.minimum(step_idx, self.Lt - 1)]
-        next_embed = (sum16 + trail.astype(jnp.float32)).astype(self.dtype)
-        embed_pool = embed_pool.at[pool_idx].set(next_embed)
-        frame = jnp.concatenate([cb0[:, None], toks], axis=1)  # [B, 16]
-        return frame, embed_pool
-
     def _build_decode_fn(self):
-        tspec, block_size = self.tspec, self.block_size
+        from nano_qwen3tts_tpu.engine.fused_step import make_decode_step
 
-        def fn(
-            tparams,
-            pparams,
-            k_cache,
-            v_cache,
-            embed_pool,
-            trail_pool,
-            pool_idx,
-            positions,
-            slots,
-            block_tables,
-            kv_lens,
-            step_idx,
-            temps_t,
-            temps_p,
-            key,
-        ):
-            x = embed_pool[pool_idx]  # [B, D]
-            logits, hidden, k_cache, v_cache = talker_decode(
-                tparams, tspec, x, positions, slots, block_tables, kv_lens,
-                k_cache, v_cache, block_size,
-            )
-            frame, embed_pool = self._frame_tail(
-                tparams, pparams, hidden, logits, trail_pool, embed_pool,
-                pool_idx, step_idx, temps_t, temps_p, key,
-            )
-            return k_cache, v_cache, embed_pool, frame
-
+        fn = make_decode_step(
+            self.tspec, self.pspec, self.block_size, self.Lt, self.dtype
+        )
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
     def _build_prefill_fn(self):
-        tspec = self.tspec
+        from nano_qwen3tts_tpu.engine.fused_step import make_prefill_step
 
-        def fn(
-            tparams,
-            pparams,
-            k_cache,
-            v_cache,
-            embed_pool,
-            trail_pool,
-            embeds,  # [B, T, D]
-            positions,  # [B, T]
-            lengths,  # [B]
-            slots,  # [B*T]
-            pool_idx,
-            step_idx,
-            temps_t,
-            temps_p,
-            key,
-        ):
-            logits, hidden, k_cache, v_cache = talker_prefill(
-                tparams, tspec, embeds, positions, lengths, slots,
-                k_cache, v_cache,
-            )
-            frame, embed_pool = self._frame_tail(
-                tparams, pparams, hidden, logits, trail_pool, embed_pool,
-                pool_idx, step_idx, temps_t, temps_p, key,
-            )
-            return k_cache, v_cache, embed_pool, frame
-
+        fn = make_prefill_step(self.tspec, self.pspec, self.Lt, self.dtype)
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
     def _decode_fn(self, bucket: int):
