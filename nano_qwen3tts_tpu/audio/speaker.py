@@ -1,0 +1,171 @@
+"""ECAPA-TDNN speaker encoder (x-vector extraction) in JAX.
+
+Replaces the reference's lazily-loaded torch ``speaker_encoder``
+(interface.py:442-470,558-589): mel [B, T, mel_dim] -> x-vector [enc_dim].
+Architecture follows the Qwen3TTSSpeakerEncoderConfig shape (reference
+config.py:121-168; ECAPA-TDNN: initial TDNN, three SE-Res2Net blocks with
+dilations, multi-layer feature aggregation, attentive statistics pooling,
+final projection). Inference-mode BatchNorm with stored running stats.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nano_qwen3tts_tpu.config import SpeakerEncoderConfig
+
+
+def _conv_w(key, o, i, k):
+    return jax.random.normal(key, (o, i, k), jnp.float32) / np.sqrt(i * k)
+
+
+def _conv1d_same(x, w, b, dilation=1):
+    """'same'-padded conv. x [B, C, T], w [O, I, K]."""
+    k = w.shape[-1]
+    pad = (k - 1) * dilation
+    y = jax.lax.conv_general_dilated(
+        x, w, (1,), [(pad // 2, pad - pad // 2)], rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y + b[None, :, None]
+
+
+def _bn(x, p):
+    inv = jax.lax.rsqrt(p["var"] + 1e-5)
+    return (x - p["mean"][None, :, None]) * inv[None, :, None] * p[
+        "gamma"
+    ][None, :, None] + p["beta"][None, :, None]
+
+
+def _bn_params(c):
+    return {
+        "gamma": jnp.ones(c), "beta": jnp.zeros(c),
+        "mean": jnp.zeros(c), "var": jnp.ones(c),
+    }
+
+
+def init_speaker_encoder_params(cfg: SpeakerEncoderConfig, key) -> dict:
+    ks = iter(jax.random.split(key, 100))
+    ch = cfg.enc_channels
+    kz = cfg.enc_kernel_sizes
+    p = {
+        "in": {"w": _conv_w(next(ks), ch[0], cfg.mel_dim, kz[0]),
+               "b": jnp.zeros(ch[0]), "bn": _bn_params(ch[0])},
+        "blocks": [],
+    }
+    scale = cfg.enc_res2net_scale
+    for i in (1, 2, 3):
+        c = ch[i]
+        width = c // scale
+        block = {
+            "conv1": {"w": _conv_w(next(ks), c, ch[i - 1], 1), "b": jnp.zeros(c),
+                      "bn": _bn_params(c)},
+            "res2": [
+                {"w": _conv_w(next(ks), width, width, kz[i]), "b": jnp.zeros(width)}
+                for _ in range(scale - 1)
+            ],
+            "res2_bn": _bn_params(c),
+            "conv3": {"w": _conv_w(next(ks), c, c, 1), "b": jnp.zeros(c),
+                      "bn": _bn_params(c)},
+            "se_down": {"w": _conv_w(next(ks), cfg.enc_se_channels, c, 1),
+                        "b": jnp.zeros(cfg.enc_se_channels)},
+            "se_up": {"w": _conv_w(next(ks), c, cfg.enc_se_channels, 1),
+                      "b": jnp.zeros(c)},
+        }
+        p["blocks"].append(block)
+    mfa_in = ch[1] + ch[2] + ch[3]
+    p["mfa"] = {"w": _conv_w(next(ks), ch[4], mfa_in, kz[4]), "b": jnp.zeros(ch[4])}
+    att_in = ch[4] * 3
+    p["att"] = {
+        "w1": _conv_w(next(ks), cfg.enc_attention_channels, att_in, 1),
+        "b1": jnp.zeros(cfg.enc_attention_channels),
+        "w2": _conv_w(next(ks), ch[4], cfg.enc_attention_channels, 1),
+        "b2": jnp.zeros(ch[4]),
+    }
+    p["out"] = {
+        "bn": _bn_params(ch[4] * 2),
+        "w": _conv_w(next(ks), cfg.enc_dim, ch[4] * 2, 1),
+        "b": jnp.zeros(cfg.enc_dim),
+    }
+    return p
+
+
+def _se_res2net_block(x, bp, dilation, scale):
+    """x [B, C, T] -> [B, C, T] with residual."""
+    residual = x
+    h = jax.nn.relu(_bn(_conv1d_same(x, bp["conv1"]["w"], bp["conv1"]["b"]),
+                        bp["conv1"]["bn"]))
+    # Res2Net: split into `scale` groups; group i>=1 convolves (+ carry)
+    B, C, T = h.shape
+    width = C // scale
+    groups = jnp.split(h, scale, axis=1)
+    outs = [groups[0]]
+    carry = None
+    for i in range(1, scale):
+        inp = groups[i] if carry is None else groups[i] + carry
+        carry = _conv1d_same(inp, bp["res2"][i - 1]["w"], bp["res2"][i - 1]["b"],
+                             dilation=dilation)
+        outs.append(carry)
+    h = jax.nn.relu(_bn(jnp.concatenate(outs, axis=1), bp["res2_bn"]))
+    h = jax.nn.relu(_bn(_conv1d_same(h, bp["conv3"]["w"], bp["conv3"]["b"]),
+                        bp["conv3"]["bn"]))
+    # squeeze-excitation
+    s = jnp.mean(h, axis=2, keepdims=True)
+    s = jax.nn.relu(_conv1d_same(s, bp["se_down"]["w"], bp["se_down"]["b"]))
+    s = jax.nn.sigmoid(_conv1d_same(s, bp["se_up"]["w"], bp["se_up"]["b"]))
+    return h * s + residual
+
+
+def speaker_encoder_forward(params, mels, cfg: SpeakerEncoderConfig):
+    """mels [B, T, mel_dim] -> x-vectors [B, enc_dim]."""
+    x = jnp.swapaxes(mels, 1, 2)  # [B, mel, T]
+    x = jax.nn.relu(_bn(_conv1d_same(x, params["in"]["w"], params["in"]["b"]),
+                        params["in"]["bn"]))
+    feats = []
+    for bp, dil in zip(params["blocks"], cfg.enc_dilations[1:4]):
+        x = _se_res2net_block(x, bp, dil, cfg.enc_res2net_scale)
+        feats.append(x)
+    x = jax.nn.relu(_conv1d_same(jnp.concatenate(feats, axis=1),
+                                 params["mfa"]["w"], params["mfa"]["b"]))
+    # attentive statistics pooling with global context
+    B, C, T = x.shape
+    mean = jnp.mean(x, axis=2, keepdims=True)
+    std = jnp.sqrt(jnp.var(x, axis=2, keepdims=True) + 1e-8)
+    ctx = jnp.concatenate(
+        [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], axis=1
+    )
+    a = jnp.tanh(_conv1d_same(ctx, params["att"]["w1"], params["att"]["b1"]))
+    a = _conv1d_same(a, params["att"]["w2"], params["att"]["b2"])
+    a = jax.nn.softmax(a, axis=2)
+    mu = jnp.sum(x * a, axis=2)
+    sg = jnp.sqrt(jnp.clip(jnp.sum(x * x * a, axis=2) - mu * mu, 1e-8))
+    stats = jnp.concatenate([mu, sg], axis=1)[:, :, None]  # [B, 2C, 1]
+    out = _conv1d_same(_bn(stats, params["out"]["bn"]),
+                       params["out"]["w"], params["out"]["b"])
+    return out[:, :, 0]  # [B, enc_dim]
+
+
+class SpeakerEncoder:
+    """Jitted wrapper: waveform (24 kHz) -> x-vector."""
+
+    def __init__(self, cfg: SpeakerEncoderConfig = None, params=None, seed=0):
+        self.cfg = cfg or SpeakerEncoderConfig()
+        self.params = params or init_speaker_encoder_params(
+            self.cfg, jax.random.PRNGKey(seed)
+        )
+        self._fwd = jax.jit(
+            lambda p, m: speaker_encoder_forward(p, m, self.cfg)
+        )
+
+    def extract(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        """Parity with interface.extract_speaker_embedding
+        (interface.py:558-589): 24 kHz mel (n_fft 1024, hop 256, 128 mels,
+        fmax 12k) -> encoder -> [enc_dim]."""
+        from nano_qwen3tts_tpu.audio.mel import mel_spectrogram
+        from nano_qwen3tts_tpu.audio.wav import resample
+
+        wav = resample(np.asarray(wav, np.float32), sr, 24000)
+        mels = mel_spectrogram(wav).T[None]  # [1, T, mel]
+        return np.asarray(self._fwd(self.params, jnp.asarray(mels)))[0]

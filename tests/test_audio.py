@@ -1,0 +1,140 @@
+"""Audio stack tests: WAV I/O, mel, codec, speaker encoder."""
+
+import io
+
+import numpy as np
+import pytest
+
+from nano_qwen3tts_tpu.audio import wav as W
+from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
+from nano_qwen3tts_tpu.audio.mel import mel_filterbank, mel_spectrogram, stft_magnitude
+from nano_qwen3tts_tpu.audio.speaker import SpeakerEncoder
+
+
+class TestWav:
+    def test_roundtrip(self, rng):
+        x = np.clip(rng.standard_normal(2400) * 0.3, -0.99, 0.99).astype(np.float32)
+        buf = io.BytesIO()
+        W.write_wav(buf, x, 24000)
+        buf.seek(0)
+        y, sr = W.read_wav(buf)
+        assert sr == 24000
+        np.testing.assert_allclose(x, y, atol=1.5 / 32768)
+
+    def test_pcm16_clip(self):
+        x = np.array([-2.0, 0.0, 2.0], np.float32)
+        p = W.float_to_pcm16(x)
+        assert p[0] == -32767 and p[2] == 32767
+
+    def test_resample_identity_and_ratio(self, rng):
+        x = rng.standard_normal(1000).astype(np.float32)
+        assert W.resample(x, 24000, 24000) is not None
+        y = W.resample(x, 16000, 24000)
+        assert abs(len(y) - 1500) <= 1
+
+
+class TestMel:
+    def test_stft_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        y = rng.standard_normal(4096).astype(np.float32)
+        got = stft_magnitude(y, 1024, 256, 1024)
+        pad = (1024 - 256) // 2
+        yt = torch.nn.functional.pad(
+            torch.from_numpy(y)[None, None], (pad, pad), mode="reflect"
+        )[0, 0]
+        spec = torch.stft(
+            yt, n_fft=1024, hop_length=256, win_length=1024,
+            window=torch.hann_window(1024), center=False, return_complex=True,
+        )
+        want = torch.sqrt(torch.view_as_real(spec).pow(2).sum(-1) + 1e-9).numpy()
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_filterbank_shape_and_coverage(self):
+        fb = mel_filterbank(24000, 1024, 128, 0, 12000)
+        assert fb.shape == (128, 513)
+        assert (fb >= 0).all()
+        # every mel band has some support
+        assert (fb.sum(axis=1) > 0).all()
+
+    def test_mel_spectrogram_shape(self, rng):
+        y = rng.standard_normal(24000).astype(np.float32)
+        m = mel_spectrogram(y)
+        assert m.shape[0] == 128
+        assert m.shape[1] == 24000 // 256
+
+
+@pytest.fixture(scope="module")
+def codec():
+    cfg = CodecConfig(
+        num_codebooks=16, codebook_size=64, latent_dim=32, base_channels=8,
+        upsample_rates=(4, 5, 4, 4),  # hop 320 — small for CPU tests
+    )
+    return SpeechTokenizer(cfg, seed=0)
+
+
+class TestCodec:
+    def test_decode_shapes_and_determinism(self, codec, rng):
+        T = 12
+        codes = rng.integers(0, 64, size=(1, 16, T)).astype(np.int32)
+        wavs, sr = codec.decode(codes)
+        assert sr == 24000
+        assert wavs[0].shape == (T * codec.cfg.hop,)
+        wavs2, _ = codec.decode(codes)
+        np.testing.assert_array_equal(wavs[0], wavs2[0])
+
+    def test_decode_accepts_chunk_list(self, codec, rng):
+        chunks = [list(rng.integers(0, 64, size=16)) for _ in range(5)]
+        wavs, _ = codec.decode(chunks)
+        assert wavs[0].shape == (5 * codec.cfg.hop,)
+
+    def test_bucketing_transparent(self, codec, rng):
+        """Same codes decoded at different pad buckets must agree (causal)."""
+        codes = rng.integers(0, 64, size=(1, 16, 7)).astype(np.int32)
+        w1, _ = codec.decode(codes)  # bucket 8
+        big = np.zeros((1, 16, 30), np.int32)
+        big[:, :, :7] = codes
+        w2, _ = codec.decode(big)  # bucket 32
+        np.testing.assert_allclose(w1[0], w2[0][: len(w1[0])], atol=1e-4)
+
+    def test_chunked_decode_matches_full(self, codec, rng):
+        T = 40
+        codes = rng.integers(0, 64, size=(1, 16, T)).astype(np.int32)
+        full, _ = codec.decode(codes)
+        # left context must exceed the decoder's receptive field (~20 frames;
+        # the production policy uses 25 — speech_tokenizer_cudagraph.py:127)
+        chunked, _ = codec.chunked_decode(codes, chunk_size=16, left_context=25)
+        assert chunked[0].shape == full[0].shape
+        # identical except float noise (causal convs + ample left context)
+        np.testing.assert_allclose(chunked[0], full[0], atol=1e-3)
+
+    def test_encode_decode_roundtrip_shapes(self, codec, rng):
+        wav = rng.standard_normal(10 * codec.cfg.hop).astype(np.float32) * 0.1
+        codes = codec.encode(wav, sr=24000)
+        assert codes.shape == (10, 16)
+        assert (codes >= 0).all() and (codes < 64).all()
+        wavs, _ = codec.decode(codes)
+        assert wavs[0].shape == (10 * codec.cfg.hop,)
+
+    def test_decode_window_trims_context(self, codec, rng):
+        codes = rng.integers(0, 64, size=(1, 16, 10)).astype(np.int32)
+        out = codec.decode_window(codes, left_context_frames=4)
+        assert out.shape == (6 * codec.cfg.hop,)
+
+
+class TestSpeakerEncoder:
+    def test_xvector_shape_and_determinism(self, rng):
+        from nano_qwen3tts_tpu.config import SpeakerEncoderConfig
+
+        cfg = SpeakerEncoderConfig(
+            enc_dim=64, enc_channels=(32, 32, 32, 32, 96),
+            enc_attention_channels=16, enc_res2net_scale=4, enc_se_channels=16,
+        )
+        enc = SpeakerEncoder(cfg, seed=0)
+        wav = rng.standard_normal(24000).astype(np.float32) * 0.3
+        v1 = enc.extract(wav, 24000)
+        assert v1.shape == (64,)
+        v2 = enc.extract(wav, 24000)
+        np.testing.assert_allclose(v1, v2, atol=1e-5)
+        v3 = enc.extract(rng.standard_normal(24000).astype(np.float32), 24000)
+        assert not np.allclose(v1, v3)
