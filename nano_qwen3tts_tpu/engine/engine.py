@@ -81,6 +81,7 @@ class TTSEngine:
         predictor_temperature: float = 0.9,
         max_frames: int = 0,
         seed: int = 0,
+        ignore_eos: bool = False,
     ) -> str:
         request_id = request_id or str(uuid.uuid4())
         prompt_embeds = np.asarray(prompt_embeds, np.float32)
@@ -94,6 +95,7 @@ class TTSEngine:
             request_id=request_id,
             block_size=self.cfg.kvcache_block_size,
             seed=seed,
+            ignore_eos=ignore_eos,
         )
         seq.predictor_temperature = predictor_temperature
         seq.pool_slot = self.runner.acquire_pool_slot(

@@ -39,7 +39,8 @@ def make_frame_tail(pspec: AttnSpec, trail_len: int, dtype):
 
 
 def make_decode_step(
-    tspec: AttnSpec, pspec: AttnSpec, block_size: int, trail_len: int, dtype
+    tspec: AttnSpec, pspec: AttnSpec, block_size: int, trail_len: int, dtype,
+    attn_impl: str = "xla",
 ):
     """One decode frame: talker decode (paged) -> cb0 -> predictor -> pools."""
     frame_tail = make_frame_tail(pspec, trail_len, dtype)
@@ -52,7 +53,7 @@ def make_decode_step(
         x = embed_pool[pool_idx]  # [B, D]
         logits, hidden, k_cache, v_cache = talker_decode(
             tparams, tspec, x, positions, slots, block_tables, kv_lens,
-            k_cache, v_cache, block_size,
+            k_cache, v_cache, block_size, attn_impl,
         )
         frame, embed_pool = frame_tail(
             tparams, pparams, hidden, logits, trail_pool, embed_pool,

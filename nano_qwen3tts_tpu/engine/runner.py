@@ -89,6 +89,10 @@ class Runner:
         self.NB = engine_config.max_blocks_per_seq
         self.eos = engine_config.eos
 
+        impl = engine_config.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        self.attn_impl = impl
         self.num_blocks = num_kvcache_blocks or self._auto_num_blocks()
         self.k_cache, self.v_cache = make_kv_cache(
             tc.num_hidden_layers,
@@ -191,7 +195,8 @@ class Runner:
         from nano_qwen3tts_tpu.engine.fused_step import make_decode_step
 
         fn = make_decode_step(
-            self.tspec, self.pspec, self.block_size, self.Lt, self.dtype
+            self.tspec, self.pspec, self.block_size, self.Lt, self.dtype,
+            attn_impl=self.attn_impl,
         )
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 

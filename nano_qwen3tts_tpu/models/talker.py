@@ -82,6 +82,7 @@ def talker_decode(
     k_cache: jax.Array,
     v_cache: jax.Array,
     block_size: int,
+    attn_impl: str = "xla",
 ):
     """Returns (logits [B, V], hidden [B, D], k_cache, v_cache)."""
     hidden, k_cache, v_cache = stack_decode_paged(
@@ -96,6 +97,7 @@ def talker_decode(
         v_cache,
         spec,
         block_size,
+        attn_impl,
     )
     logits = linear(hidden, params["codec_head_w"])
     return logits, hidden, k_cache, v_cache

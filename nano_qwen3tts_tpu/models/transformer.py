@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from nano_qwen3tts_tpu.ops.attention import (
     dense_decode_attention,
     dense_prefill_attention,
-    paged_decode_attention_xla,
+    paged_decode_attention,
 )
 from nano_qwen3tts_tpu.ops.kv_cache import write_kv
 
@@ -200,6 +200,7 @@ def stack_decode_paged(
     v_cache: jax.Array,
     spec: AttnSpec,
     block_size: int,
+    attn_impl: str = "xla",
 ):
     """Single-token decode with paged attention. Returns (hidden [B,D], caches)."""
 
@@ -214,8 +215,9 @@ def stack_decode_paged(
         k = apply_rope(k, pos, inv_freq, spec.attention_scaling)[:, 0]
         v = v[:, 0]
         kc_l, vc_l = write_kv(kc_l, vc_l, k, v, slots)
-        attn = paged_decode_attention_xla(
-            q, kc_l, vc_l, block_tables, kv_lens, block_size, spec.scale
+        attn = paged_decode_attention(
+            q, kc_l, vc_l, block_tables, kv_lens, block_size, spec.scale,
+            impl=attn_impl,
         )
         attn = attn.reshape(x.shape[0], spec.num_heads * spec.head_dim)
         h = h + linear(attn, lp["o_w"])

@@ -113,3 +113,21 @@ def dense_decode_attention(
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhs,bshd->bhd", probs, v_ctx, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+def paged_decode_attention(
+    q, k_cache_l, v_cache_l, block_tables, kv_lens, block_size, scale,
+    impl: str = "xla",
+):
+    """Dispatch between the XLA gather fallback and the Pallas kernel."""
+    if impl == "pallas":
+        from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+            paged_decode_attention_pallas,
+        )
+
+        return paged_decode_attention_pallas(
+            q, k_cache_l, v_cache_l, block_tables, kv_lens, block_size, scale
+        )
+    return paged_decode_attention_xla(
+        q, k_cache_l, v_cache_l, block_tables, kv_lens, block_size, scale
+    )

@@ -1,0 +1,380 @@
+"""Streaming-PCM HTTP server.
+
+Parity surface with reference examples/server.py (770 LoC, FastAPI):
+
+  POST /v1/audio/speech   -> chunked 16-bit PCM @ 24 kHz
+  GET  /voices            -> built-in speakers + registered clone voices
+  GET  /health            -> liveness
+
+FastAPI/uvicorn are not available in this environment, so this is a small
+asyncio HTTP/1.1 implementation (chunked transfer encoding) with the same
+streaming policy:
+
+* 50 ms leading silence flushed immediately (server.py:42-51,563-565);
+* the first FIRST_CHUNK_COUNT audio chunks cover FIRST_CHUNK_SIZE codec
+  frames each, later chunks STREAMING_CHUNK_SIZE frames (server.py:54-62,
+  613-628);
+* each chunk decodes a window with STREAMING_CONTEXT_SIZE left-context
+  frames that are trimmed after decode (server.py:645-698);
+* voice-clone requests prepend up to VOICE_CLONE_CODE_PREFIX_FRAMES
+  reference-code frames to the decode context and skip their samples
+  (server.py:519-538,657-681);
+* decode requests from concurrent streams are micro-batched by a single
+  decode worker (server.py:372-465);
+* volume scaling + resample + PCM16 (server.py:338-361);
+* cancellation safety: client disconnect cancels the producer and clears
+  the engine request (server.py:548-556,700-732);
+* startup warmup ramp compiles the serving buckets (server.py:253-277).
+
+Environment variables honored (same names as the reference, server.py:39-62):
+QWEN3_TTS_MODEL_PATH, STREAMING_CHUNK_SIZE, STREAMING_CONTEXT_SIZE,
+FIRST_CHUNK_COUNT, FIRST_CHUNK_SIZE, STREAM_LEADING_SILENCE_MS,
+VOICE_CLONE_CODE_PREFIX_FRAMES, PREFILL_COLLECT_MS, DEBUG_SAVE_AUDIO,
+HOST, PORT.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+import pickle
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("qwen3tts.server")
+
+
+@dataclass
+class StreamSettings:
+    chunk_size: int = int(os.environ.get("STREAMING_CHUNK_SIZE", "4"))
+    context_size: int = int(os.environ.get("STREAMING_CONTEXT_SIZE", "8"))
+    first_chunk_count: int = int(os.environ.get("FIRST_CHUNK_COUNT", "8"))
+    first_chunk_size: int = int(os.environ.get("FIRST_CHUNK_SIZE", "4"))
+    leading_silence_ms: int = int(os.environ.get("STREAM_LEADING_SILENCE_MS", "50"))
+    clone_prefix_frames: int = int(
+        os.environ.get("VOICE_CLONE_CODE_PREFIX_FRAMES", "16")
+    )
+    volume: float = float(os.environ.get("STREAM_VOLUME", "1.0"))
+    sample_rate: int = 24000
+
+
+class DecodeWorker:
+    """Micro-batches codec decode calls from concurrent streams
+    (server.py:372-465). Jobs with identical window length decode as one
+    batched codec call."""
+
+    def __init__(self, speech_tokenizer, collect_ms: float = 2.0):
+        self.codec = speech_tokenizer
+        self.collect_s = collect_ms / 1e3
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+
+    async def start(self):
+        if self._task is None:
+            self._task = asyncio.create_task(self._loop())
+
+    async def stop(self):
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes [T, 16] -> wav float32 (full window, caller trims)."""
+        fut = asyncio.get_running_loop().create_future()
+        await self.queue.put((codes, fut))
+        return await fut
+
+    async def _loop(self):
+        while True:
+            codes, fut = await self.queue.get()
+            jobs = [(codes, fut)]
+            deadline = time.monotonic() + self.collect_s
+            while True:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    jobs.append(await asyncio.wait_for(self.queue.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            # group by T so equal-length windows share one batched call
+            by_len: dict[int, list] = {}
+            for c, f in jobs:
+                by_len.setdefault(c.shape[0], []).append((c, f))
+            loop = asyncio.get_running_loop()
+            for T, group in by_len.items():
+                batch = np.stack([c.T for c, _ in group])  # [B, 16, T]
+                try:
+                    wavs, _ = await loop.run_in_executor(
+                        None, self.codec.decode, batch
+                    )
+                    for (c, f), w in zip(group, wavs):
+                        if not f.done():
+                            f.set_result(w)
+                except Exception as e:  # pragma: no cover
+                    for _, f in group:
+                        if not f.done():
+                            f.set_exception(e)
+
+
+class VoiceRegistry:
+    """Voice-clone prompt registry: <voices_dir>/<name>.pkl
+    (server.py:495-516)."""
+
+    def __init__(self, voices_dir: Optional[str]):
+        self.voices_dir = voices_dir
+        self.voices: dict[str, dict] = {}
+        if voices_dir and os.path.isdir(voices_dir):
+            for fn in os.listdir(voices_dir):
+                if fn.endswith(".pkl"):
+                    try:
+                        with open(os.path.join(voices_dir, fn), "rb") as f:
+                            self.voices[fn[:-4]] = pickle.load(f)
+                    except Exception as e:
+                        logger.warning("failed loading voice %s: %s", fn, e)
+
+    def register(self, name: str, prompt: dict):
+        self.voices[name] = prompt
+        if self.voices_dir:
+            os.makedirs(self.voices_dir, exist_ok=True)
+            with open(os.path.join(self.voices_dir, f"{name}.pkl"), "wb") as f:
+                pickle.dump(prompt, f)
+
+    def get(self, name: str) -> Optional[dict]:
+        return self.voices.get(name)
+
+
+class TTSServer:
+    def __init__(
+        self,
+        interface,
+        settings: Optional[StreamSettings] = None,
+        voices_dir: Optional[str] = None,
+    ):
+        self.iface = interface
+        self.s = settings or StreamSettings()
+        self.registry = VoiceRegistry(voices_dir)
+        self.decoder = DecodeWorker(interface.speech_tokenizer)
+        self._server: Optional[asyncio.AbstractServer] = None
+
+    # ------------------------------------------------------------------
+    # stream generation: frames -> PCM chunks
+    # ------------------------------------------------------------------
+
+    async def _pcm_chunks(self, gen, clone_prefix: Optional[np.ndarray]):
+        """Consume codec frames, yield PCM16 byte chunks per the reference
+        chunking policy."""
+        s = self.s
+        lead = np.zeros(int(s.sample_rate * s.leading_silence_ms / 1000), np.float32)
+        yield pcm16_bytes(lead)
+
+        hop = self.iface.speech_tokenizer.cfg.hop
+        codes: list[list[int]] = []
+        if clone_prefix is not None and len(clone_prefix):
+            codes.extend([list(f) for f in clone_prefix[-s.clone_prefix_frames :]])
+        prefix_len = len(codes)
+
+        emitted = prefix_len  # frames whose audio has been yielded (or skipped)
+        chunk_no = 0
+
+        async def flush(upto: int):
+            nonlocal emitted, chunk_no
+            ctx_start = max(0, emitted - s.context_size)
+            window = np.asarray(codes[ctx_start:upto], np.int32)  # [T, 16]
+            wav = await self.decoder.decode(window)
+            wav = wav[(emitted - ctx_start) * hop : (upto - ctx_start) * hop]
+            emitted = upto
+            chunk_no += 1
+            if s.volume != 1.0:
+                wav = wav * s.volume
+            return pcm16_bytes(wav)
+
+        async for frame in gen:
+            codes.append(frame)
+            n_new = len(codes) - emitted
+            target = (
+                s.first_chunk_size if chunk_no < s.first_chunk_count else s.chunk_size
+            )
+            if n_new >= target:
+                yield await flush(len(codes))
+        if len(codes) > emitted:
+            yield await flush(len(codes))
+
+    async def generate_speech_stream(self, req: dict):
+        """Yield PCM16 chunks for one request dict (server.py:543-732)."""
+        mode = req.get("mode")
+        voice = req.get("voice", "Vivian")
+        text = req.get("input") or req.get("text") or ""
+        language = req.get("language", "Auto")
+        clone_prefix = None
+        if mode == "voice_design" or req.get("instruct"):
+            gen = self.iface.generate_voice_design_async(
+                text, req.get("instruct", ""), language
+            )
+        elif self.registry.get(voice) is not None:
+            prompt = self.registry.get(voice)
+            if prompt.get("ref_code") is not None:
+                clone_prefix = np.asarray(prompt["ref_code"])
+            gen = self.iface.generate_voice_clone_async(
+                text, language=language, voice_clone_prompt=prompt,
+                non_streaming_mode=bool(req.get("non_streaming_mode", True)),
+            )
+        else:
+            gen = self.iface.generate_custom_voice_async(text, language, voice)
+        try:
+            async for chunk in self._pcm_chunks(gen, clone_prefix):
+                yield chunk
+        finally:
+            await gen.aclose()  # cancellation path -> engine.clear_request
+
+    # ------------------------------------------------------------------
+    # HTTP plumbing (stdlib asyncio)
+    # ------------------------------------------------------------------
+
+    async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        try:
+            request_line = await reader.readline()
+            if not request_line:
+                return
+            method, path, _ = request_line.decode().split(" ", 2)
+            headers = {}
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = line.decode().partition(":")
+                headers[k.strip().lower()] = v.strip()
+            body = b""
+            if "content-length" in headers:
+                body = await reader.readexactly(int(headers["content-length"]))
+            await self._route(method, path, body, writer)
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        except Exception as e:
+            logger.exception("request failed: %s", e)
+            try:
+                await _respond_json(writer, 500, {"error": str(e)})
+            except Exception:
+                pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _route(self, method, path, body, writer):
+        if method == "GET" and path == "/health":
+            await _respond_json(writer, 200, {"status": "ok"})
+        elif method == "GET" and path == "/voices":
+            builtin = sorted((self.iface.model_config.talker_config.spk_id or {}).keys())
+            await _respond_json(
+                writer, 200,
+                {"voices": builtin, "cloned": sorted(self.registry.voices.keys())},
+            )
+        elif method == "POST" and path == "/v1/audio/speech":
+            req = json.loads(body or b"{}")
+            t0 = time.time()
+            writer.write(
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: audio/pcm;rate=24000\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n"
+            )
+            await writer.drain()
+            n = 0
+            try:
+                async for chunk in self.generate_speech_stream(req):
+                    writer.write(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
+                    await writer.drain()
+                    n += 1
+                writer.write(b"0\r\n\r\n")
+                await writer.drain()
+            except (ConnectionResetError, BrokenPipeError):
+                logger.info("client disconnected mid-stream")
+            logger.info(
+                "stream done: %d chunks in %.2fs", n, time.time() - t0
+            )
+        elif method == "POST" and path == "/v1/voices":
+            # register a clone voice from base64 WAV (extension endpoint)
+            req = json.loads(body or b"{}")
+            prompt = self.iface.create_voice_clone_prompt(
+                req["ref_audio"], req.get("ref_text"),
+                bool(req.get("x_vector_only_mode", False)),
+            )
+            self.registry.register(req["name"], prompt)
+            await _respond_json(writer, 200, {"registered": req["name"]})
+        else:
+            await _respond_json(writer, 404, {"error": "not found"})
+
+    async def start(self, host="0.0.0.0", port=8000, warmup=True):
+        await self.iface.start()
+        await self.decoder.start()
+        if warmup:
+            t0 = time.time()
+            await asyncio.get_running_loop().run_in_executor(
+                None, self.iface.warmup
+            )
+            logger.info("warmup done in %.1fs", time.time() - t0)
+        self._server = await asyncio.start_server(self._handle, host, port)
+        logger.info("serving on %s:%d", host, port)
+
+    async def stop(self):
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+            self._server = None
+        await self.decoder.stop()
+        await self.iface.stop()
+
+    async def serve_forever(self, host="0.0.0.0", port=8000):
+        await self.start(host, port)
+        async with self._server:
+            await self._server.serve_forever()
+
+
+def pcm16_bytes(wav: np.ndarray) -> bytes:
+    from nano_qwen3tts_tpu.audio.wav import float_to_pcm16
+
+    return float_to_pcm16(wav).tobytes()
+
+
+async def _respond_json(writer, status, obj):
+    body = json.dumps(obj).encode()
+    codes = {200: b"OK", 404: b"Not Found", 500: b"Internal Server Error"}
+    writer.write(
+        b"HTTP/1.1 %d %s\r\nContent-Type: application/json\r\n"
+        b"Content-Length: %d\r\n\r\n" % (status, codes.get(status, b"?"), len(body))
+        + body
+    )
+    await writer.drain()
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    from nano_qwen3tts_tpu.interface import Qwen3TTSInterface
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=os.environ.get("QWEN3_TTS_MODEL_PATH"))
+    ap.add_argument("--host", default=os.environ.get("HOST", "0.0.0.0"))
+    ap.add_argument("--port", type=int, default=int(os.environ.get("PORT", "8000")))
+    ap.add_argument("--voices-dir", default="voices")
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    iface = Qwen3TTSInterface.from_pretrained(args.model)
+    server = TTSServer(iface, voices_dir=args.voices_dir)
+    asyncio.run(server.serve_forever(args.host, args.port))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,136 @@
+"""HTTP streaming server tests (tiny config, loopback)."""
+
+import asyncio
+import http.client
+import json
+import socket
+
+import numpy as np
+import pytest
+
+from nano_qwen3tts_tpu.server.app import StreamSettings, TTSServer
+from nano_qwen3tts_tpu.server.client import stream_speech
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def iface():
+    import jax
+    import jax.numpy as jnp
+
+    from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
+    from nano_qwen3tts_tpu.audio.speaker import SpeakerEncoder
+    from nano_qwen3tts_tpu.config import (
+        EngineConfig,
+        SpeakerEncoderConfig,
+        preset_config,
+    )
+    from nano_qwen3tts_tpu.interface import Qwen3TTSInterface
+    from nano_qwen3tts_tpu.models.weights import (
+        init_predictor_params,
+        init_talker_params,
+    )
+    from test_interface import stub_tokenizer
+
+    cfg = preset_config("tiny")
+    cfg.tts_bos_token_id, cfg.tts_eos_token_id, cfg.tts_pad_token_id = 505, 506, 507
+    cfg.talker_config.spk_id = {"vivian": 3000}
+    cfg.talker_config.codec_language_id = {"english": 4100}
+    tc = cfg.talker_config
+    tp = init_talker_params(tc, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pp = init_predictor_params(
+        tc.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.float32
+    )
+    ecfg = EngineConfig(
+        max_model_len=256, kvcache_block_size=16, max_num_batched_tokens=1024,
+        max_active_streams=4, decode_buckets=(1, 2, 4), prefill_buckets=(64, 128, 256),
+    )
+    codec = SpeechTokenizer(
+        CodecConfig(num_codebooks=16, codebook_size=64, latent_dim=32,
+                    base_channels=8, upsample_rates=(4, 5, 4, 4)),
+        seed=0,
+    )
+    spk = SpeakerEncoder(
+        SpeakerEncoderConfig(enc_dim=tc.hidden_size, enc_channels=(32, 32, 32, 32, 96),
+                             enc_attention_channels=16, enc_res2net_scale=4,
+                             enc_se_channels=16),
+        seed=0,
+    )
+    return Qwen3TTSInterface(
+        engine_config=ecfg, model_config=cfg, talker_params=tp, predictor_params=pp,
+        tokenizer=stub_tokenizer, speech_tokenizer=codec, speaker_encoder=spk,
+    )
+
+
+def run_with_server(iface, fn):
+    """Start server on a free port, run async fn(port), stop."""
+    port = free_port()
+
+    async def main():
+        server = TTSServer(iface, StreamSettings(leading_silence_ms=50))
+        await server.start("127.0.0.1", port, warmup=False)
+        try:
+            return await fn(port)
+        finally:
+            await server.stop()
+
+    return asyncio.run(main())
+
+
+def test_health_and_voices(iface):
+    async def go(port):
+        def req(path):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.request("GET", path)
+            r = c.getresponse()
+            return r.status, json.loads(r.read())
+
+        s1, health = await asyncio.to_thread(req, "/health")
+        s2, voices = await asyncio.to_thread(req, "/voices")
+        return s1, health, s2, voices
+
+    s1, health, s2, voices = run_with_server(iface, go)
+    assert s1 == 200 and health["status"] == "ok"
+    assert s2 == 200 and "vivian" in voices["voices"]
+
+
+def test_speech_stream_pcm(iface):
+    async def go(port):
+        payload = {"input": "Stream me some audio", "voice": "Vivian",
+                   "language": "English"}
+        return await asyncio.to_thread(
+            stream_speech, "127.0.0.1", port, payload
+        )
+
+    wav, stats = run_with_server(iface, go)
+    # at minimum: 50ms leading silence + some audio
+    assert len(wav) >= 24000 * 0.05
+    assert stats["first_chunk_ms"] is not None
+    # leading silence must be exactly zeros
+    assert np.abs(wav[: int(24000 * 0.05)]).max() == 0
+
+
+def test_voice_design_route(iface):
+    async def go(port):
+        payload = {"input": "Hi", "instruct": "Calm voice", "mode": "voice_design"}
+        return await asyncio.to_thread(stream_speech, "127.0.0.1", port, payload)
+
+    wav, stats = run_with_server(iface, go)
+    assert len(wav) >= 24000 * 0.05
+
+
+def test_404(iface):
+    async def go(port):
+        def req():
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.request("GET", "/nope")
+            return c.getresponse().status
+
+        return await asyncio.to_thread(req)
+
+    assert run_with_server(iface, go) == 404
