@@ -72,6 +72,10 @@ class EngineConfig:
     # Paged decode attention implementation: "auto" (pallas on TPU, xla
     # elsewhere) | "xla" | "pallas"
     attention_impl: str = "auto"
+    # Codec frames produced per decode dispatch (lax.scan over the fused
+    # step). 4 matches the server's PCM chunk policy; amortizes per-frame
+    # host work and the device->host token fetch.
+    frames_per_step: int = 1
 
     def __post_init__(self):
         # Power-of-two block size; (kv_heads, head_dim) are the tiled minor
@@ -87,6 +91,7 @@ class EngineConfig:
             assert self.quantization in ("int8",)
         assert self.kv_cache_dtype in ("bf16", "int8")
         assert self.attention_impl in ("auto", "xla", "pallas")
+        assert 1 <= self.frames_per_step <= 16
 
     @property
     def max_blocks_per_seq(self) -> int:

@@ -129,6 +129,9 @@ class TTSEngine:
         seqs, is_prefill = self.scheduler.schedule()
         if not seqs:
             return []
+        n = self.cfg.frames_per_step
+        if not is_prefill and n > 1 and self._secure_multi(seqs, n):
+            return self._step_decode_multi(seqs, n)
         max_bucket = self.cfg.decode_buckets[-1]
         chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]
         frames = np.concatenate(
@@ -157,7 +160,7 @@ class TTSEngine:
             finished = False
             if seq.max_frames and seq.frames_emitted >= seq.max_frames:
                 finished = True
-            elif seq.kv_len + 1 > self.cfg.max_model_len:
+            elif seq.kv_len >= self.cfg.max_model_len:
                 logger.warning(
                     "request %s hit max_model_len, force-finishing", seq.request_id
                 )
@@ -165,6 +168,65 @@ class TTSEngine:
             if finished:
                 self._finish_seq(seq)
             out.append((seq.request_id, [int(t) for t in frames[i]], finished))
+        return out
+
+    def _secure_multi(self, seqs: list[Sequence], n: int) -> bool:
+        """Check/extend block tables so every lane can take n decode writes.
+
+        Falls back (returns False) if any lane would cross max_model_len or
+        blocks run out — the caller then runs a single-frame step.
+        """
+        bm = self.scheduler.block_manager
+        for seq in seqs:
+            if seq.kv_len + n > self.cfg.max_model_len:
+                return False
+            for j in range(1, n):  # frame 0's block secured by schedule()
+                if not bm.can_append(seq.kv_len + j, seq.block_table):
+                    return False
+                bm.may_append(seq.kv_len + j, seq.block_table)
+        return True
+
+    def _step_decode_multi(self, seqs: list[Sequence], n: int):
+        max_bucket = self.cfg.decode_buckets[-1]
+        chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]
+        frames = np.concatenate(
+            [self.runner.run_decode_multi(c, n) for c in chunks], axis=0
+        )  # [B, n, 16]
+        out = []
+        for i, seq in enumerate(seqs):
+            seq.kv_len += n
+            seq.decode_input_embeds = DEVICE_RESIDENT
+            finished = False
+            emitted_any = False
+            for j in range(n):
+                cb0 = int(frames[i, j, 0])
+                if not seq.ignore_eos and cb0 == self.cfg.eos:
+                    finished = True
+                    if not emitted_any:
+                        out.append((seq.request_id, None, True))
+                    else:
+                        out[-1] = (out[-1][0], out[-1][1], True)
+                    break
+                seq.frames_emitted += 1
+                emitted_any = True
+                done_now = bool(
+                    seq.max_frames and seq.frames_emitted >= seq.max_frames
+                )
+                out.append((seq.request_id, [int(t) for t in frames[i, j]], done_now))
+                if done_now:
+                    finished = True
+                    break
+            if not finished and seq.kv_len >= self.cfg.max_model_len:
+                logger.warning(
+                    "request %s hit max_model_len, force-finishing", seq.request_id
+                )
+                finished = True
+                if out and out[-1][0] == seq.request_id:
+                    out[-1] = (out[-1][0], out[-1][1], True)
+                else:
+                    out.append((seq.request_id, None, True))
+            if finished:
+                self._finish_seq(seq)
         return out
 
     def _finish_seq(self, seq: Sequence):

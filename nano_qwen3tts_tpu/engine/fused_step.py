@@ -85,3 +85,60 @@ def make_prefill_step(
         return k_cache, v_cache, embed_pool, frame
 
     return prefill_step
+
+
+def make_decode_multi_step(
+    tspec: AttnSpec,
+    pspec: AttnSpec,
+    block_size: int,
+    trail_len: int,
+    dtype,
+    n_frames: int,
+    attn_impl: str = "xla",
+):
+    """N decode frames in one dispatch: ``lax.scan`` over the fused frame
+    step, with KV slots/positions advanced on device.
+
+    Amortizes per-step host work (and the device->host token fetch) over
+    ``n_frames`` frames; N=4 matches the server's 4-frame PCM chunk policy,
+    so streaming granularity is unchanged. Lanes that sample EOS mid-scan
+    keep computing (into their own KV blocks — freed at finish) and the host
+    discards their tail frames; this trades rare wasted frames for zero
+    data-dependent control flow.
+
+    Caller must pre-allocate block tables covering ``kv_len0 + n_frames``
+    entries per lane.
+    """
+    frame_tail = make_frame_tail(pspec, trail_len, dtype)
+
+    def multi_step(
+        tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
+        pool_idx, kv_len0, block_tables, step_idx0, temps_t, temps_p, key,
+    ):
+        def body(carry, j):
+            k_cache, v_cache, embed_pool, key = carry
+            kv_len = kv_len0 + j  # entries before this frame's write
+            positions = kv_len + 1  # reference off-by-one (engine/sequence.py)
+            blk = jnp.take_along_axis(
+                block_tables, (kv_len // block_size)[:, None], axis=1
+            )[:, 0]
+            slots = blk * block_size + kv_len % block_size
+            x = embed_pool[pool_idx]
+            logits, hidden, k_cache, v_cache = talker_decode(
+                tparams, tspec, x, positions, slots, block_tables, kv_len + 1,
+                k_cache, v_cache, block_size, attn_impl,
+            )
+            key, sub = jax.random.split(key)
+            frame, embed_pool = frame_tail(
+                tparams, pparams, hidden, logits, trail_pool, embed_pool,
+                pool_idx, step_idx0 + j, temps_t, temps_p, sub,
+            )
+            return (k_cache, v_cache, embed_pool, key), frame
+
+        (k_cache, v_cache, embed_pool, _), frames = jax.lax.scan(
+            body, (k_cache, v_cache, embed_pool, key),
+            jnp.arange(n_frames, dtype=jnp.int32),
+        )
+        return k_cache, v_cache, embed_pool, frames  # frames [N, B, 16]
+
+    return multi_step

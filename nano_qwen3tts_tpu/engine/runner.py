@@ -114,6 +114,7 @@ class Runner:
         self.base_key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._step_counter = 0
         self._decode_fns: dict[int, callable] = {}
+        self._decode_multi_fns: dict[tuple[int, int], callable] = {}
         self._prefill_fns: dict[tuple[int, int], callable] = {}
 
     # ------------------------------------------------------------------
@@ -211,6 +212,18 @@ class Runner:
             self._decode_fns[bucket] = self._build_decode_fn()
         return self._decode_fns[bucket]
 
+    def _decode_multi_fn(self, bucket: int, n_frames: int):
+        key = (bucket, n_frames)
+        if key not in self._decode_multi_fns:
+            from nano_qwen3tts_tpu.engine.fused_step import make_decode_multi_step
+
+            fn = make_decode_multi_step(
+                self.tspec, self.pspec, self.block_size, self.Lt, self.dtype,
+                n_frames, attn_impl=self.attn_impl,
+            )
+            self._decode_multi_fns[key] = jax.jit(fn, donate_argnums=(2, 3, 4))
+        return self._decode_multi_fns[key]
+
     def _prefill_fn(self, bb: int, tb: int):
         key = (bb, tb)
         if key not in self._prefill_fns:
@@ -293,6 +306,38 @@ class Runner:
             jnp.asarray(temps_t), jnp.asarray(temps_p), self._next_key(),
         )
         return np.asarray(frame)[:B]
+
+    def run_decode_multi(self, seqs: list[Sequence], n_frames: int) -> np.ndarray:
+        """Run n_frames fused decode frames in one dispatch.
+
+        Returns frames [B, n_frames, 16]. Caller must have pre-extended each
+        sequence's block table to cover kv_len + n_frames entries.
+        """
+        B = len(seqs)
+        bb = _bucket(B, self.cfg.decode_buckets)
+        pool_idx = np.full((bb,), GARBAGE_POOL_ROW, np.int32)
+        kv_len0 = np.ones((bb,), np.int32)
+        tables = np.zeros((bb, self.NB), np.int32)
+        step_idx = np.zeros((bb,), np.int32)
+        temps_t = np.ones((bb,), np.float32)
+        temps_p = np.full((bb,), 0.9, np.float32)
+        for i, s in enumerate(seqs):
+            pool_idx[i] = s.pool_slot
+            kv_len0[i] = s.kv_len
+            nt = len(s.block_table)
+            tables[i, :nt] = s.block_table
+            step_idx[i] = s.frames_emitted
+            temps_t[i] = s.temperature
+            temps_p[i] = getattr(s, "predictor_temperature", 0.9)
+        fn = self._decode_multi_fn(bb, n_frames)
+        self.k_cache, self.v_cache, self.embed_pool, frames = fn(
+            self.tparams, self.pparams, self.k_cache, self.v_cache,
+            self.embed_pool, self.trail_pool,
+            jnp.asarray(pool_idx), jnp.asarray(kv_len0), jnp.asarray(tables),
+            jnp.asarray(step_idx), jnp.asarray(temps_t), jnp.asarray(temps_p),
+            self._next_key(),
+        )
+        return np.asarray(frames).transpose(1, 0, 2)[:B]  # [B, N, 16]
 
     # ------------------------------------------------------------------
 
