@@ -53,6 +53,7 @@ def build_engine(smoke: bool):
         max_active_streams=32,
         decode_buckets=(1, 2, 4, 8, 16, 32),
         prefill_buckets=(128, 256, 512, 1024),
+        frames_per_step=int(os.environ.get("BENCH_FRAMES_PER_STEP", "4")),
     )
     t0 = time.time()
     tparams = init_talker_params(tc, jax.random.PRNGKey(0), dtype=dtype)
@@ -68,31 +69,29 @@ def build_engine(smoke: bool):
 
 def run_stream(engine, tc, batch: int, n_frames: int, prompt_len: int = 64):
     """Run `batch` concurrent streams for n_frames frames; return seconds
-    per engine step at steady state."""
+    per *frame* per stream at steady state."""
     rng = np.random.default_rng(0)
-    rids = []
     for b in range(batch):
-        rids.append(
-            engine.add_request(
-                (rng.standard_normal((prompt_len, tc.hidden_size)) * 0.3).astype(
-                    np.float32
-                ),
-                (rng.standard_normal((16, tc.hidden_size)) * 0.3).astype(np.float32),
-                max_frames=n_frames,
-                ignore_eos=True,
-            )
+        engine.add_request(
+            (rng.standard_normal((prompt_len, tc.hidden_size)) * 0.3).astype(
+                np.float32
+            ),
+            (rng.standard_normal((16, tc.hidden_size)) * 0.3).astype(np.float32),
+            max_frames=n_frames,
+            ignore_eos=True,
         )
     engine.step()  # prefill (excluded from steady-state timing)
-    # settle: one decode step to land in the right bucket
-    engine.step()
+    engine.step()  # settle into the decode bucket
     t0 = time.time()
-    steps = 0
+    frames = 0
     while engine.has_work():
-        if not engine.step():
+        res = engine.step()
+        if not res:
             break
-        steps += 1
+        frames += sum(1 for _, f, _ in res if f is not None)
     dt = time.time() - t0
-    return dt / max(steps, 1)
+    per_stream_frames = max(frames // batch, 1)
+    return dt / per_stream_frames
 
 
 def main():

@@ -49,6 +49,15 @@ class TTSEngine:
     ):
         self.cfg = engine_config
         self.mcfg = model_config
+        if engine_config.quantization == "int8":
+            from nano_qwen3tts_tpu.ops.quant import (
+                quantize_predictor_params,
+                quantize_talker_params,
+            )
+
+            mode = os.environ.get("INT8_MODE", "w8a8")
+            talker_params = quantize_talker_params(talker_params, mode)
+            predictor_params = quantize_predictor_params(predictor_params, mode)
         self.runner = Runner(
             engine_config,
             model_config,

@@ -49,6 +49,14 @@ def predictor_spec(cfg) -> AttnSpec:
     return AttnSpec.from_model_config(cfg)
 
 
+def _index_head(lm_heads, i):
+    """Select per-codebook LM head i from the stacked (possibly quantized)
+    tensor; i may be traced (dynamic_index inside the scan)."""
+    if not isinstance(lm_heads, jax.Array):
+        return lm_heads.index(i)  # QuantizedWeight
+    return jax.lax.dynamic_index_in_dim(lm_heads, i, axis=0, keepdims=False)
+
+
 def _maybe_project(params: dict, x: jax.Array) -> jax.Array:
     if "proj_w" in params:
         return linear(x, params["proj_w"], params["proj_b"])
@@ -89,7 +97,7 @@ def predictor_frame(
         params["layers"], params["norm"], x, positions, k_ctx, v_ctx, spec
     )
     last_hidden = hidden[:, -1]  # [B, Dp]
-    logits = linear(last_hidden, params["lm_heads"][0])
+    logits = linear(last_hidden, _index_head(params["lm_heads"], 0))
     key, sub = jax.random.split(key)
     tok1 = sample_top_k(logits, temperatures, sub, top_k)  # codebook 1
 
@@ -106,10 +114,7 @@ def predictor_frame(
         hidden, k_ctx, v_ctx = stack_decode_dense_cache(
             params["layers"], params["norm"], x, i + 1, k_ctx, v_ctx, spec
         )
-        head = jax.lax.dynamic_index_in_dim(
-            params["lm_heads"], i, axis=0, keepdims=False
-        )  # [Dp, V]
-        logits = linear(hidden, head)
+        logits = linear(hidden, _index_head(params["lm_heads"], i))
         key, sub = jax.random.split(key)
         tok = sample_top_k(logits, temperatures, sub, top_k)
         return (k_ctx, v_ctx, tok, emb_sum, key), tok

@@ -85,8 +85,14 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return xf.astype(orig) * w
 
 
-def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    """Matmul with transparent int8 dispatch (w may be a quantized dict)."""
+    if not isinstance(w, jax.Array):
+        from nano_qwen3tts_tpu.ops.quant import quantized_linear
+
+        y = quantized_linear(x, w)
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b
     return y

@@ -59,3 +59,53 @@ def test_paged_decode_pallas_single_lane(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestInt8Quant:
+    def test_quantized_linear_close_to_f32(self, rng):
+        import jax.numpy as jnp
+
+        from nano_qwen3tts_tpu.ops.quant import (
+            int8_linear_w8a8,
+            int8_linear_w8a16,
+            quantize_weight,
+        )
+
+        x = rng.standard_normal((8, 256)).astype(np.float32)
+        w = (rng.standard_normal((256, 512)) * 0.05).astype(np.float32)
+        want = x @ w
+        for mode, fn in (("w8a16", int8_linear_w8a16), ("w8a8", int8_linear_w8a8)):
+            wq = quantize_weight(jnp.asarray(w), mode)
+            got = np.asarray(fn(jnp.asarray(x), wq))
+            rel = np.abs(got - want).mean() / np.abs(want).mean()
+            assert rel < 0.02, (mode, rel)
+
+    def test_quantized_engine_end_to_end(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+        from nano_qwen3tts_tpu.engine.engine import TTSEngine
+        from nano_qwen3tts_tpu.models.weights import (
+            init_predictor_params,
+            init_talker_params,
+        )
+
+        cfg = preset_config("tiny")
+        tc = cfg.talker_config
+        tp = init_talker_params(tc, jax.random.PRNGKey(0), dtype=jnp.float32)
+        pp = init_predictor_params(
+            tc.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.float32
+        )
+        ecfg = EngineConfig(
+            max_model_len=64, kvcache_block_size=16, max_num_batched_tokens=1024,
+            max_active_streams=4, decode_buckets=(1, 2), prefill_buckets=(32, 64),
+            quantization="int8", frames_per_step=2,
+        )
+        eng = TTSEngine(ecfg, cfg, tp, pp,
+                        tts_pad_embed=np.zeros(tc.hidden_size, np.float32),
+                        num_kvcache_blocks=32)
+        prompt = (rng.standard_normal((10, tc.hidden_size)) * 0.3).astype(np.float32)
+        frames = list(eng.generate(prompt, None, max_frames=4))
+        assert 1 <= len(frames) <= 4
+        assert all(len(f) == 16 for f in frames)
