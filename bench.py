@@ -55,11 +55,14 @@ def build_engine(smoke: bool):
         prefill_buckets=(128, 256, 512, 1024),
         frames_per_step=int(os.environ.get("BENCH_FRAMES_PER_STEP", "4")),
     )
+    from nano_qwen3tts_tpu.models.weights import host_random_init
+
     t0 = time.time()
-    tparams = init_talker_params(tc, jax.random.PRNGKey(0), dtype=dtype)
-    pparams = init_predictor_params(
-        tc.code_predictor_config, jax.random.PRNGKey(1), dtype=dtype
-    )
+    with host_random_init():
+        tparams = init_talker_params(tc, jax.random.PRNGKey(0), dtype=dtype)
+        pparams = init_predictor_params(
+            tc.code_predictor_config, jax.random.PRNGKey(1), dtype=dtype
+        )
     pad = np.asarray(tparams["codec_embedding"][0], np.float32)
     engine = TTSEngine(ecfg, cfg, tparams, pparams, tts_pad_embed=pad)
     log(f"[bench] engine built in {time.time()-t0:.1f}s "

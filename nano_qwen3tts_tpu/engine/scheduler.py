@@ -32,10 +32,29 @@ class Scheduler:
         self.eos = config.eos
         n_blocks = num_kvcache_blocks or config.num_kvcache_blocks
         assert n_blocks > 1, "num_kvcache_blocks must be set before scheduling"
-        self.block_manager = BlockManager(n_blocks, config.kvcache_block_size)
+        self.block_manager = self._make_block_manager(
+            n_blocks, config.kvcache_block_size
+        )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.request_id_to_seq: dict[str, Sequence] = {}
+
+    @staticmethod
+    def _make_block_manager(n_blocks: int, block_size: int):
+        """Prefer the C++ allocator (native/engine_core.cpp) when built;
+        the Python BlockManager is the semantics oracle and fallback."""
+        import os
+
+        if os.environ.get("NATIVE_ENGINE_CORE", "1") != "0":
+            try:
+                from nano_qwen3tts_tpu.engine.native_bridge import (
+                    NativeBlockManager,
+                )
+
+                return NativeBlockManager(n_blocks, block_size)
+            except Exception:
+                pass
+        return BlockManager(n_blocks, block_size)
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running

@@ -27,6 +27,31 @@ import numpy as np
 
 from nano_qwen3tts_tpu.config import CodePredictorConfig, TalkerConfig
 
+_HOST_INIT = [False]
+
+
+class host_random_init:
+    """Context manager: generate random init on the host (numpy) and
+    transfer once, instead of compiling one XLA program per tensor — on a
+    remote-compile TPU backend each tiny init op costs seconds."""
+
+    def __enter__(self):
+        _HOST_INIT[0] = True
+
+    def __exit__(self, *a):
+        _HOST_INIT[0] = False
+
+
+_np_seed = [0]
+
+
+def _randn(key, shape, _dtype=jnp.float32):
+    if _HOST_INIT[0]:
+        _np_seed[0] += 1
+        r = np.random.default_rng(_np_seed[0])
+        return jnp.asarray(r.standard_normal(shape, dtype=np.float32))
+    return jax.random.normal(key, shape, _dtype)
+
 
 # ---------------------------------------------------------------------------
 # Random init
@@ -49,9 +74,7 @@ def _init_layer_stack(
     D, I, Hq, Hkv, d = hidden, intermediate, num_heads, num_kv_heads, head_dim
 
     def w(k, shape):
-        return (jax.random.normal(k, (num_layers, *shape), jnp.float32) * s).astype(
-            dtype
-        )
+        return (_randn(k, (num_layers, *shape)) * s).astype(dtype)
 
     layers = {
         "input_layernorm": jnp.ones((num_layers, D), dtype),
@@ -93,23 +116,23 @@ def init_talker_params(cfg: TalkerConfig, key, dtype=jnp.bfloat16) -> dict:
         ),
         "norm": jnp.ones((D,), dtype),
         "codec_embedding": (
-            jax.random.normal(k1, (cfg.vocab_size, D), jnp.float32) * s
+            _randn(k1, (cfg.vocab_size, D)) * s
         ).astype(dtype),
         "text_embedding": (
-            jax.random.normal(k2, (cfg.text_vocab_size, cfg.text_hidden_size), jnp.float32)
+            _randn(k2, (cfg.text_vocab_size, cfg.text_hidden_size))
             * s
         ).astype(dtype),
         "codec_head_w": (
-            jax.random.normal(k3, (D, cfg.vocab_size), jnp.float32) * s
+            _randn(k3, (D, cfg.vocab_size)) * s
         ).astype(dtype),
         "text_projection": {
             "fc1_w": (
-                jax.random.normal(k4, (cfg.text_hidden_size, cfg.text_hidden_size), jnp.float32)
+                _randn(k4, (cfg.text_hidden_size, cfg.text_hidden_size))
                 * s
             ).astype(dtype),
             "fc1_b": jnp.zeros((cfg.text_hidden_size,), dtype),
             "fc2_w": (
-                jax.random.normal(k5, (cfg.text_hidden_size, D), jnp.float32) * s
+                _randn(k5, (cfg.text_hidden_size, D)) * s
             ).astype(dtype),
             "fc2_b": jnp.zeros((D,), dtype),
         },
@@ -136,16 +159,16 @@ def init_predictor_params(cfg: CodePredictorConfig, key, dtype=jnp.bfloat16) -> 
         "norm": jnp.ones((Dp,), dtype),
         # [15, V, D_talker] — tables live at talker dim (qwen3_tts_predictor.py:22-28)
         "codec_embeddings": (
-            jax.random.normal(k1, (n_cb, cfg.vocab_size, Dt), jnp.float32) * s
+            _randn(k1, (n_cb, cfg.vocab_size, Dt)) * s
         ).astype(dtype),
         # [15, Dp, V]
         "lm_heads": (
-            jax.random.normal(k2, (n_cb, Dp, cfg.vocab_size), jnp.float32) * s
+            _randn(k2, (n_cb, Dp, cfg.vocab_size)) * s
         ).astype(dtype),
     }
     if Dp != Dt:  # small_to_mtp_projection (qwen3_tts_predictor.py:58-61)
         params["proj_w"] = (
-            jax.random.normal(k3, (Dt, Dp), jnp.float32) * s
+            _randn(k3, (Dt, Dp)) * s
         ).astype(dtype)
         params["proj_b"] = jnp.zeros((Dp,), dtype)
     return params
