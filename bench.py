@@ -37,6 +37,17 @@ def build_engine(smoke: bool):
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: repeat bench runs skip the (remote) XLA
+    # compiles entirely.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from nano_qwen3tts_tpu.config import EngineConfig, preset_config
     from nano_qwen3tts_tpu.engine.engine import TTSEngine
     from nano_qwen3tts_tpu.models.weights import (
@@ -63,7 +74,9 @@ def build_engine(smoke: bool):
         pparams = init_predictor_params(
             tc.code_predictor_config, jax.random.PRNGKey(1), dtype=dtype
         )
-    pad = np.asarray(tparams["codec_embedding"][0], np.float32)
+    # host-side pad vector (device fetch through the bench tunnel costs
+    # minutes; content is irrelevant for random-weight throughput runs)
+    pad = np.zeros(tc.hidden_size, np.float32)
     engine = TTSEngine(ecfg, cfg, tparams, pparams, tts_pad_embed=pad)
     log(f"[bench] engine built in {time.time()-t0:.1f}s "
         f"(platform={jax.devices()[0].platform}, blocks={engine.runner.num_blocks})")

@@ -65,16 +65,40 @@ def make_decode_step(
 
 
 def make_prefill_step(
-    tspec: AttnSpec, pspec: AttnSpec, trail_len: int, dtype
+    tspec: AttnSpec, pspec: AttnSpec, trail_len: int, dtype,
+    block_size: int = 128,
 ):
-    """Prefill + first frame: talker prefill -> cb0 -> predictor -> pools."""
+    """Prefill + first frame: talker prefill -> cb0 -> predictor -> pools.
+
+    Positions/valid-mask/KV-slots are derived in-jit from one packed int32
+    metadata array (pool_idx, length, step_idx, block_table per row) — a
+    single metadata transfer per prefill dispatch.
+    """
     frame_tail = make_frame_tail(pspec, trail_len, dtype)
 
     def prefill_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
-        embeds, positions, lengths, slots,
-        pool_idx, step_idx, temps_t, temps_p, key,
+        embeds,  # [B, T, D]
+        meta,    # [B, 3+NB] int32: pool_idx, length, step_idx, block_table
+        temps,   # [2, B] f32
+        seed,    # [] int32
     ):
+        B, T, _ = embeds.shape
+        pool_idx = meta[:, 0]
+        lengths = meta[:, 1]
+        step_idx = meta[:, 2]
+        tables = meta[:, 3:]
+        temps_t, temps_p = temps[0], temps[1]
+        key = jax.random.PRNGKey(seed)
+        positions = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None, :], (B, T)
+        )
+        blk = jnp.take_along_axis(tables, positions // block_size, axis=1)
+        slots = jnp.where(
+            positions < lengths[:, None],
+            blk * block_size + positions % block_size,
+            0,  # garbage block for pads
+        ).reshape(B * T)
         logits, hidden, k_cache, v_cache = talker_prefill(
             tparams, tspec, embeds, positions, lengths, slots, k_cache, v_cache
         )
@@ -113,8 +137,16 @@ def make_decode_multi_step(
 
     def multi_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
-        pool_idx, kv_len0, block_tables, step_idx0, temps_t, temps_p, key,
+        meta,   # [B, 3+NB] int32: pool_idx, kv_len0, step_idx0, block_table
+        temps,  # [2, B] f32: talker temps, predictor temps
+        seed,   # [] int32 — PRNG key built in-jit (one scalar transfer)
     ):
+        pool_idx = meta[:, 0]
+        kv_len0 = meta[:, 1]
+        step_idx0 = meta[:, 2]
+        block_tables = meta[:, 3:]
+        temps_t, temps_p = temps[0], temps[1]
+        key = jax.random.PRNGKey(seed)
         def body(carry, j):
             k_cache, v_cache, embed_pool, key = carry
             kv_len = kv_len0 + j  # entries before this frame's write
