@@ -76,6 +76,11 @@ class EngineConfig:
     # step). 4 matches the server's PCM chunk policy; amortizes per-frame
     # host work and the device->host token fetch.
     frames_per_step: int = 1
+    # Pipeline decode dispatches: launch step k+1 before fetching step k's
+    # tokens, hiding device->host latency behind compute. EOS is then
+    # discovered one step late; the extra in-flight frames for a finished
+    # lane are discarded (its KV writes target its own soon-freed blocks).
+    pipeline_decode: bool = True
 
     def __post_init__(self):
         # Power-of-two block size; (kv_heads, head_dim) are the tiled minor

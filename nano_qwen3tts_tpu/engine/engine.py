@@ -71,6 +71,7 @@ class TTSEngine:
         if tts_pad_embed is not None:
             self.runner.set_tts_pad(np.asarray(tts_pad_embed))
         # async plumbing
+        self._pending = None  # in-flight pipelined decode (seqs, bases, dev frames, n)
         self._queues: dict[str, asyncio.Queue] = {}
         self._loop_task: Optional[asyncio.Task] = None
         self._wake: Optional[asyncio.Event] = None
@@ -123,7 +124,7 @@ class TTSEngine:
         self.scheduler.clear_request(request_id)
 
     def has_work(self) -> bool:
-        return not self.scheduler.is_finished()
+        return not self.scheduler.is_finished() or self._pending is not None
 
     # ------------------------------------------------------------------
     # synchronous stepping (offline / bench / tests)
@@ -135,12 +136,28 @@ class TTSEngine:
         Returns [(request_id, frame_or_None, finished)] for every scheduled
         sequence. frame is the 16-entry codebook list; None on EOS.
         """
-        seqs, is_prefill = self.scheduler.schedule()
-        if not seqs:
-            return []
         n = self.cfg.frames_per_step
+        pipelining = n > 1 and self.cfg.pipeline_decode
+        if pipelining and not self.scheduler.waiting:
+            # pure-decode stretch: pipelined fast path
+            seqs, is_prefill = self.scheduler.schedule()
+            if seqs and not is_prefill and self._secure_multi(seqs, n):
+                return self._step_decode_pipelined(seqs, n)
+            results = self._flush_pending()
+            seqs = [q for q in seqs if not q.is_finished]  # flush may finish
+            if seqs:
+                results += self._run_batch(seqs, is_prefill, n)
+            return results
+        results = self._flush_pending()
+        seqs, is_prefill = self.scheduler.schedule()
+        seqs = [q for q in seqs if not q.is_finished]
+        if not seqs:
+            return results
         if not is_prefill and n > 1 and self._secure_multi(seqs, n):
-            return self._step_decode_multi(seqs, n)
+            return results + self._step_decode_multi(seqs, n)
+        return results + self._run_batch(seqs, is_prefill, n)
+
+    def _run_batch(self, seqs, is_prefill, n):
         max_bucket = self.cfg.decode_buckets[-1]
         chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]
         frames = np.concatenate(
@@ -238,6 +255,74 @@ class TTSEngine:
                 self._finish_seq(seq)
         return out
 
+    # ------------------------------------------------------------------
+    # pipelined decode: dispatch step k+1 before fetching step k
+    # ------------------------------------------------------------------
+
+    def _step_decode_pipelined(self, seqs: list[Sequence], n: int):
+        if len(seqs) > self.cfg.decode_buckets[-1] or any(
+            s.max_frames and s.frames_emitted + n > s.max_frames for s in seqs
+        ):
+            # oversized batch or a lane about to hit max_frames: take the
+            # synchronous path so emission counts stay exact.
+            results = self._flush_pending()
+            seqs = [q for q in seqs if not q.is_finished]
+            if not seqs:
+                return results
+            return results + self._step_decode_multi(seqs, n)
+        frames_dev = self.runner.dispatch_decode_multi(seqs, n)  # no host sync
+        bases = []
+        for seq in seqs:
+            bases.append(seq.frames_emitted)
+            # dead-reckoned bookkeeping; corrected at fetch for EOS lanes
+            seq.kv_len += n
+            seq.frames_emitted += n
+            seq.decode_input_embeds = DEVICE_RESIDENT
+        prev, self._pending = self._pending, (seqs, bases, frames_dev, n)
+        return self._process_pending(prev)
+
+    def _flush_pending(self):
+        prev, self._pending = self._pending, None
+        return self._process_pending(prev)
+
+    def _process_pending(self, pending):
+        if pending is None:
+            return []
+        seqs, bases, frames_dev, n = pending
+        frames = np.asarray(frames_dev).transpose(1, 0, 2)  # [bb, n, 16]
+        out = []
+        for i, seq in enumerate(seqs):
+            if seq.is_finished:
+                continue  # cleared/EOS'd after this dispatch — discard
+            emitted = bases[i]
+            finished = False
+            lane = []
+            for j in range(n):
+                cb0 = int(frames[i, j, 0])
+                if not seq.ignore_eos and cb0 == self.cfg.eos:
+                    finished = True
+                    seq.frames_emitted = emitted  # roll back dead reckoning
+                    break
+                emitted += 1
+                done_now = bool(seq.max_frames and emitted >= seq.max_frames)
+                lane.append((seq.request_id, [int(t) for t in frames[i, j]], done_now))
+                if done_now:
+                    finished = True
+                    break
+            if not finished and seq.kv_len >= self.cfg.max_model_len:
+                logger.warning(
+                    "request %s hit max_model_len, force-finishing", seq.request_id
+                )
+                finished = True
+            if finished:
+                if lane:
+                    lane[-1] = (lane[-1][0], lane[-1][1], True)
+                else:
+                    lane.append((seq.request_id, None, True))
+                self._finish_seq(seq)
+            out.extend(lane)
+        return out
+
     def _finish_seq(self, seq: Sequence):
         if seq.pool_slot > 0:
             self.runner.release_pool_slot(seq.pool_slot)
@@ -258,10 +343,10 @@ class TTSEngine:
             prompt_embeds, trailing_hiddens, max_frames=max_frames, **kw
         )
         alive = True
-        while alive:
+        while alive and self.has_work():
+            # NOTE: an empty result list is normal in pipelined mode (the
+            # first dispatch returns before any frames are fetched).
             results = self.step()
-            if not results:
-                break
             for req_id, frame, finished in results:
                 if req_id != rid:
                     continue
@@ -269,6 +354,12 @@ class TTSEngine:
                     yield frame
                 if finished:
                     alive = False
+        # Discard a dangling speculative dispatch whose lanes all finished
+        # (pipelined mode dispatches one step ahead).
+        if self._pending is not None and all(
+            s.is_finished for s in self._pending[0]
+        ):
+            self._flush_pending()
 
     # ------------------------------------------------------------------
     # async streaming API

@@ -62,9 +62,9 @@ def test_multiframe_concurrent(rng):
         for i in range(3)
     ]
     got = {r: 0 for r in rids}
-    for _ in range(30):
+    for _ in range(40):
         res = eng.step()
-        if not res:
+        if not res and not eng.has_work():
             break
         for rid, frame, fin in res:
             if frame is not None:
