@@ -206,10 +206,14 @@ class TTSEngine:
         for seq in seqs:
             if seq.kv_len + n > self.cfg.max_model_len:
                 return False
+            before = len(seq.block_table)
             for j in range(1, n):  # frame 0's block secured by schedule()
                 if not bm.can_append(seq.kv_len + j, seq.block_table):
                     return False
                 bm.may_append(seq.kv_len + j, seq.block_table)
+            if len(seq.block_table) != before:
+                # device-resident meta now stale (tables changed)
+                self.runner.invalidate_step_cache()
         return True
 
     def _step_decode_multi(self, seqs: list[Sequence], n: int):

@@ -139,14 +139,21 @@ def make_decode_multi_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
         meta,   # [B, 3+NB] int32: pool_idx, kv_len0, step_idx0, block_table
         temps,  # [2, B] f32: talker temps, predictor temps
-        seed,   # [] int32 — PRNG key built in-jit (one scalar transfer)
+        key,    # PRNG key (device-resident, advanced in-jit)
     ):
+        """Returns (k_cache, v_cache, embed_pool, meta', key', frames).
+
+        ``meta'`` has kv_len/step_idx advanced by n_frames and ``key'`` is a
+        fresh key — both stay on device, so a steady-state decode stretch
+        needs ZERO host->device transfers: the engine feeds the returned
+        meta/key straight into the next dispatch (engine/runner.py caches
+        them; any membership/block-table change invalidates and re-uploads).
+        """
         pool_idx = meta[:, 0]
         kv_len0 = meta[:, 1]
         step_idx0 = meta[:, 2]
         block_tables = meta[:, 3:]
         temps_t, temps_p = temps[0], temps[1]
-        key = jax.random.PRNGKey(seed)
         def body(carry, j):
             k_cache, v_cache, embed_pool, key = carry
             kv_len = kv_len0 + j  # entries before this frame's write
@@ -167,10 +174,11 @@ def make_decode_multi_step(
             )
             return (k_cache, v_cache, embed_pool, key), frame
 
-        (k_cache, v_cache, embed_pool, _), frames = jax.lax.scan(
+        (k_cache, v_cache, embed_pool, key), frames = jax.lax.scan(
             body, (k_cache, v_cache, embed_pool, key),
             jnp.arange(n_frames, dtype=jnp.int32),
         )
-        return k_cache, v_cache, embed_pool, frames  # frames [N, B, 16]
+        meta = meta.at[:, 1].add(n_frames).at[:, 2].add(n_frames)
+        return k_cache, v_cache, embed_pool, meta, key, frames  # [N, B, 16]
 
     return multi_step

@@ -113,6 +113,13 @@ class Runner:
 
         self.base_key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._step_counter = 0
+        # Device-resident step state for steady decode (see fused_step
+        # multi_step docstring): cached meta/temps/key keyed by the batch
+        # signature; any out-of-band state change must invalidate.
+        self._dev_meta = None
+        self._dev_temps = None
+        self._dev_key = self.base_key
+        self._meta_sig = None
         self._decode_fns: dict[int, callable] = {}
         self._decode_multi_fns: dict[tuple[int, int], callable] = {}
         self._prefill_fns: dict[tuple[int, int], callable] = {}
@@ -223,7 +230,9 @@ class Runner:
                 self.tspec, self.pspec, self.block_size, self.Lt, self.dtype,
                 n_frames, attn_impl=self.attn_impl,
             )
-            self._decode_multi_fns[key] = jax.jit(fn, donate_argnums=(2, 3, 4))
+            self._decode_multi_fns[key] = jax.jit(
+                fn, donate_argnums=(2, 3, 4, 6, 8)
+            )
         return self._decode_multi_fns[key]
 
     def _prefill_fn(self, bb: int, tb: int):
@@ -240,8 +249,12 @@ class Runner:
     # host-side batch assembly
     # ------------------------------------------------------------------
 
+    def invalidate_step_cache(self):
+        self._meta_sig = None
+
     def run_prefill(self, seqs: list[Sequence]) -> np.ndarray:
         """Run prefill + first frame for a batch. Returns frames [B, 16]."""
+        self.invalidate_step_cache()
         B = len(seqs)
         max_len = max(s.prompt_len for s in seqs)
         tb = _bucket(max_len, self.cfg.prefill_buckets)
@@ -271,6 +284,7 @@ class Runner:
 
     def run_decode(self, seqs: list[Sequence]) -> np.ndarray:
         """Run one decode frame step for a batch. Returns frames [B, 16]."""
+        self.invalidate_step_cache()
         B = len(seqs)
         bb = _bucket(B, self.cfg.decode_buckets)
         pool_idx = np.full((bb,), GARBAGE_POOL_ROW, np.int32)
@@ -318,29 +332,45 @@ class Runner:
 
     def dispatch_decode_multi(self, seqs: list[Sequence], n_frames: int):
         """Async variant: returns the device frames array [N, bb, 16]
-        without forcing a host sync (for pipelined stepping)."""
+        without forcing a host sync (for pipelined stepping).
+
+        Steady-state: the packed metadata, temps, and PRNG key live on
+        device and are advanced in-jit, so repeat dispatches for the same
+        batch upload NOTHING — the dominant cost on a high-latency
+        host<->device link.
+        """
         B = len(seqs)
         bb = _bucket(B, self.cfg.decode_buckets)
-        meta = np.zeros((bb, 3 + self.NB), np.int32)
-        meta[:, 1] = 1  # pad lanes: kv_len 1 over the garbage block
-        temps = np.ones((2, bb), np.float32)
-        temps[1] = 0.9
-        for i, s in enumerate(seqs):
-            meta[i, 0] = s.pool_slot
-            meta[i, 1] = s.kv_len
-            meta[i, 2] = s.frames_emitted
-            nt = len(s.block_table)
-            meta[i, 3 : 3 + nt] = s.block_table
-            temps[0, i] = s.temperature
-            temps[1, i] = getattr(s, "predictor_temperature", 0.9)
+        # block-table length in the signature: any block append re-uploads
+        sig = (bb, n_frames, tuple((s.seq_id, len(s.block_table)) for s in seqs))
+        if sig == self._meta_sig and self._dev_meta is not None:
+            meta_dev, temps_dev = self._dev_meta, self._dev_temps
+        else:
+            meta = np.zeros((bb, 3 + self.NB), np.int32)
+            meta[:, 1] = 1  # pad lanes: kv_len 1 over the garbage block
+            temps = np.ones((2, bb), np.float32)
+            temps[1] = 0.9
+            for i, s in enumerate(seqs):
+                meta[i, 0] = s.pool_slot
+                meta[i, 1] = s.kv_len
+                meta[i, 2] = s.frames_emitted
+                nt = len(s.block_table)
+                meta[i, 3 : 3 + nt] = s.block_table
+                temps[0, i] = s.temperature
+                temps[1, i] = getattr(s, "predictor_temperature", 0.9)
+            meta_dev = jnp.asarray(meta)
+            temps_dev = jnp.asarray(temps)
         fn = self._decode_multi_fn(bb, n_frames)
-        self._step_counter += 1
-        self.k_cache, self.v_cache, self.embed_pool, frames = fn(
+        (
+            self.k_cache, self.v_cache, self.embed_pool,
+            self._dev_meta, self._dev_key, frames,
+        ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
-            jnp.asarray(meta), jnp.asarray(temps),
-            jnp.asarray(np.int32(self._step_counter)),
+            meta_dev, temps_dev, self._dev_key,
         )
+        self._dev_temps = temps_dev
+        self._meta_sig = sig
         return frames
 
     # ------------------------------------------------------------------
@@ -388,13 +418,16 @@ class Runner:
         fn = self._decode_multi_fn(bb, n_frames)
         meta = np.zeros((bb, 3 + self.NB), np.int32)
         meta[:, 1] = 1
-        self._step_counter += 1
-        self.k_cache, self.v_cache, self.embed_pool, _ = fn(
+        (
+            self.k_cache, self.v_cache, self.embed_pool,
+            _, self._dev_key, _,
+        ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
             jnp.asarray(meta), jnp.ones((2, bb), jnp.float32),
-            jnp.asarray(np.int32(self._step_counter)),
+            self._dev_key,
         )
+        self.invalidate_step_cache()
 
     def _warm_prefill(self, bb: int, tb: int):
         fn = self._prefill_fn(bb, tb)
