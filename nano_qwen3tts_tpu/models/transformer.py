@@ -208,30 +208,62 @@ def stack_decode_paged(
     block_size: int,
     attn_impl: str = "xla",
 ):
-    """Single-token decode with paged attention. Returns (hidden [B,D], caches)."""
+    """Single-token decode with paged attention. Returns (hidden [B,D], caches).
 
+    Cache-copy-free structure: the layer scan treats the stacked KV cache as
+    a LOOP-INVARIANT operand — each layer attends over the existing entries
+    plus the current token's K/V held in registers (attend-with-extension,
+    ops/paged_attention_pallas.py), and all layers' new rows are written
+    after the scan with per-lane dynamic-update-slices. Slicing the cache
+    per layer (scan xs/ys) or scattering into a scan carry both materialize
+    multi-MB cache copies per layer — measured at 3x-30x the attention
+    kernel's own cost on TPU.
+    """
     inv_freq = make_inv_freq(spec.head_dim, spec.rope_theta)
+    L = k_cache.shape[0]
+    B = x.shape[0]
+    n_exist = kv_lens - 1  # entries already in the cache
+
+    if attn_impl == "pallas":
+        from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+            paged_decode_attention_extend as _attend,
+        )
+    else:
+        from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+            paged_decode_attention_extend_xla as _attend,
+        )
 
     def body(h, per_layer):
-        lp, kc_l, vc_l = per_layer
+        lp, l = per_layer
         xn = rms_norm(h, lp["input_layernorm"], spec.rms_norm_eps)
         q, k, v = project_qkv(lp, xn[:, None, :], spec)  # [B,1,H,d]
         pos = positions[:, None]
         q = apply_rope(q, pos, inv_freq, spec.attention_scaling)[:, 0]
         k = apply_rope(k, pos, inv_freq, spec.attention_scaling)[:, 0]
         v = v[:, 0]
-        kc_l, vc_l = write_kv(kc_l, vc_l, k, v, slots)
-        attn = paged_decode_attention(
-            q, kc_l, vc_l, block_tables, kv_lens, block_size, spec.scale,
-            impl=attn_impl,
+        attn = _attend(
+            q, k, v, k_cache, v_cache, l, block_tables, n_exist,
+            block_size, spec.scale,
         )
-        attn = attn.reshape(x.shape[0], spec.num_heads * spec.head_dim)
+        attn = attn.reshape(B, spec.num_heads * spec.head_dim)
         h = h + linear(attn, lp["o_w"])
         xn2 = rms_norm(h, lp["post_attention_layernorm"], spec.rms_norm_eps)
         h = h + swiglu_mlp(lp, xn2)
-        return h, (kc_l, vc_l)
+        return h, (k, v)
 
-    h, (k_cache, v_cache) = jax.lax.scan(body, x, (layers, k_cache, v_cache))
+    h, (k_rows, v_rows) = jax.lax.scan(
+        body, x, (layers, jnp.arange(L, dtype=jnp.int32))
+    )
+    # deferred KV writes: [L, B, Hkv, d] rows -> per-lane dynamic-update-slice
+    k_rows = k_rows.astype(k_cache.dtype)
+    v_rows = v_rows.astype(v_cache.dtype)
+    for i in range(B):
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_rows[:, i : i + 1], (0, slots[i], 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_rows[:, i : i + 1], (0, slots[i], 0, 0)
+        )
     return rms_norm(h, norm_w, spec.rms_norm_eps), k_cache, v_cache
 
 

@@ -55,26 +55,38 @@ def _decode_kernel(
     scale: float,
 ):
     b = pl.program_id(0)
-    # Launch all block DMAs, then wait. Garbage blocks (padded table entries
-    # = block 0) are copied too and masked out of the softmax.
-    for i in range(NB):
-        blk = bt_ref[b * NB + i]
-        start = pl.multiple_of(blk * bs, bs)
-        pltpu.make_async_copy(
-            k_hbm.at[pl.ds(start, bs)], k_vmem.at[pl.ds(i * bs, bs)], sems.at[0, i]
-        ).start()
-        pltpu.make_async_copy(
-            v_hbm.at[pl.ds(start, bs)], v_vmem.at[pl.ds(i * bs, bs)], sems.at[1, i]
-        ).start()
-    for i in range(NB):
-        pltpu.make_async_copy(
-            k_hbm.at[pl.ds(0, bs)], k_vmem.at[pl.ds(i * bs, bs)], sems.at[0, i]
-        ).wait()
-        pltpu.make_async_copy(
-            v_hbm.at[pl.ds(0, bs)], v_vmem.at[pl.ds(i * bs, bs)], sems.at[1, i]
-        ).wait()
-
     n = len_ref[b]
+    n_blk = (n + bs - 1) // bs  # only DMA blocks that hold live KV
+    # Launch the live block DMAs, then wait under the same predicates.
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            blk = bt_ref[b * NB + i]
+            start = pl.multiple_of(blk * bs, bs)
+            pltpu.make_async_copy(
+                k_hbm.at[pl.ds(start, bs)], k_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[0, i],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(start, bs)], v_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[1, i],
+            ).start()
+
+        @pl.when(i >= n_blk)
+        def _(i=i):
+            # stale VMEM beyond kv_len: zero V so 0-probability rows cannot
+            # inject NaNs into the PV matmul (K is softmax-masked anyway)
+            v_vmem[pl.ds(i * bs, bs)] = jnp.zeros_like(v_vmem[pl.ds(i * bs, bs)])
+
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            pltpu.make_async_copy(
+                k_hbm.at[pl.ds(0, bs)], k_vmem.at[pl.ds(i * bs, bs)], sems.at[0, i]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(0, bs)], v_vmem.at[pl.ds(i * bs, bs)], sems.at[1, i]
+            ).wait()
     q = q_ref[0]  # [Hq, F]
     logits = (
         jax.lax.dot_general(
@@ -147,3 +159,339 @@ def paged_decode_attention_pallas(
     # pick each query head's own d-block from the folded PV result
     out = out_folded.reshape(B, Hq, Hkv, d)[:, jnp.arange(Hq), head_of]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stacked-cache variant: the kernel indexes the [L, S, F] cache by a
+# scalar-prefetched layer id, so the layer scan never slices the cache in
+# XLA (a per-layer slice materializes a 16MB copy per layer — measured 3x
+# the kernel's own cost).
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_stacked(
+    layer_ref,  # scalar prefetch: [1] int32 layer id
+    bt_ref,  # scalar prefetch: [B*NB]
+    len_ref,  # scalar prefetch: [B]
+    q_ref,  # [1, Hq, F]
+    k_hbm,  # [L, S, F] full stacked cache (ANY)
+    v_hbm,
+    o_ref,  # [1, Hq, F]
+    k_vmem,
+    v_vmem,
+    sems,
+    *,
+    NB: int,
+    bs: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    n = len_ref[b]
+    n_blk = (n + bs - 1) // bs
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            blk = bt_ref[b * NB + i]
+            start = pl.multiple_of(blk * bs, bs)
+            pltpu.make_async_copy(
+                k_hbm.at[l, pl.ds(start, bs)], k_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[0, i],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[l, pl.ds(start, bs)], v_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[1, i],
+            ).start()
+
+        @pl.when(i >= n_blk)
+        def _(i=i):
+            v_vmem[pl.ds(i * bs, bs)] = jnp.zeros_like(v_vmem[pl.ds(i * bs, bs)])
+
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            pltpu.make_async_copy(
+                k_hbm.at[l, pl.ds(0, bs)], k_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[0, i],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[l, pl.ds(0, bs)], v_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[1, i],
+            ).wait()
+
+    q = q_ref[0]
+    logits = (
+        jax.lax.dot_general(
+            q, k_vmem[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    valid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) < n
+    logits = jnp.where(valid, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v_vmem.dtype), v_vmem[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention_pallas_stacked(
+    q: jax.Array,  # [B, Hq, d]
+    k_cache: jax.Array,  # [L, S, Hkv, d] FULL stacked cache
+    v_cache: jax.Array,
+    layer: jax.Array,  # scalar int32 layer id
+    block_tables: jax.Array,  # [B, NB]
+    kv_lens: jax.Array,  # [B]
+    block_size: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, d = q.shape
+    L, S, Hkv, _ = k_cache.shape
+    F = Hkv * d
+    group = Hq // Hkv
+    NB = block_tables.shape[1]
+    W = NB * block_size
+
+    kf = k_cache.reshape(L, S, F)
+    vf = v_cache.reshape(L, S, F)
+    head_of = jnp.arange(Hq) // group
+    q_folded = (
+        jnp.zeros((B, Hq, Hkv, d), q.dtype)
+        .at[:, jnp.arange(Hq), head_of]
+        .set(q)
+        .reshape(B, Hq, F)
+    )
+    kernel = functools.partial(
+        _decode_kernel_stacked, NB=NB, bs=block_size, scale=scale
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hq, F), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, F), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, F), k_cache.dtype),
+            pltpu.VMEM((W, F), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, NB)),
+        ],
+    )
+    out_folded = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, F), q.dtype),
+        interpret=interpret,
+    )(
+        layer.reshape(1).astype(jnp.int32),
+        block_tables.reshape(-1),
+        kv_lens,
+        q_folded,
+        kf,
+        vf,
+    )
+    return out_folded.reshape(B, Hq, Hkv, d)[:, jnp.arange(Hq), head_of]
+
+
+# ---------------------------------------------------------------------------
+# Attend-with-extension variant (the production decode path).
+#
+# Mosaic cannot DMA single bf16 rows into HBM (sublane tiling), and XLA-side
+# per-layer cache writes force either sliced-scan copies or carry-scatter
+# copies. So the decode step never writes KV inside the layer loop at all:
+# the kernel attends over the EXISTING cache (kv_lens entries) plus the
+# current token's K/V passed in VMEM (every token attends to itself), and
+# the caller batches all layers' new rows into a handful of
+# dynamic-update-slices after the scan. The cache is then a loop-invariant
+# operand of the layer scan — no slicing, no copies.
+#
+# Current-token math with folded lanes: q_folded . k_new_folded sums only
+# the lane block where q is nonzero (its own KV head); the PV contribution
+# p_new * v_new_folded fills every head block, and the caller's own-block
+# gather keeps the right one.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_extend(
+    layer_ref,  # [1] int32
+    bt_ref,  # [B*NB]
+    len_ref,  # [B] int32 — EXISTING entries (current token excluded)
+    q_ref,  # [1, Hq, F]
+    kn_ref,  # [1, 1, F] current token K (folded)
+    vn_ref,  # [1, 1, F]
+    k_hbm,  # [L, S, F]
+    v_hbm,
+    o_ref,  # [1, Hq, F]
+    k_vmem,
+    v_vmem,
+    sems,
+    *,
+    NB: int,
+    bs: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    n = len_ref[b]
+    n_blk = (n + bs - 1) // bs
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            blk = bt_ref[b * NB + i]
+            start = pl.multiple_of(blk * bs, bs)
+            pltpu.make_async_copy(
+                k_hbm.at[l, pl.ds(start, bs)], k_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[0, i],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[l, pl.ds(start, bs)], v_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[1, i],
+            ).start()
+
+        @pl.when(i >= n_blk)
+        def _(i=i):
+            v_vmem[pl.ds(i * bs, bs)] = jnp.zeros_like(v_vmem[pl.ds(i * bs, bs)])
+
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            pltpu.make_async_copy(
+                k_hbm.at[l, pl.ds(0, bs)], k_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[0, i],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[l, pl.ds(0, bs)], v_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[1, i],
+            ).wait()
+
+    q = q_ref[0]  # [Hq, F]
+    logits = (
+        jax.lax.dot_general(
+            q, k_vmem[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [Hq, W]
+    valid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) < n
+    logits = jnp.where(valid, logits, NEG_INF)
+    # current token: q . k_new (own-head block only, cross blocks are zero)
+    logit_new = (
+        jnp.sum(q * kn_ref[0], axis=-1, keepdims=True).astype(jnp.float32) * scale
+    )  # [Hq, 1]
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), logit_new)
+    p = jnp.exp(logits - m)
+    p_new = jnp.exp(logit_new - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+    out = jax.lax.dot_general(
+        (p / denom).astype(v_vmem.dtype), v_vmem[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + (p_new / denom) * vn_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention_extend(
+    q: jax.Array,  # [B, Hq, d]
+    k_new: jax.Array,  # [B, Hkv, d] current token K (not yet in the cache)
+    v_new: jax.Array,
+    k_cache: jax.Array,  # [L, S, Hkv, d] stacked cache (loop-invariant)
+    v_cache: jax.Array,
+    layer: jax.Array,  # scalar int32
+    block_tables: jax.Array,  # [B, NB]
+    kv_lens_existing: jax.Array,  # [B] — entries already in the cache
+    block_size: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, d = q.shape
+    L, S, Hkv, _ = k_cache.shape
+    F = Hkv * d
+    group = Hq // Hkv
+    NB = block_tables.shape[1]
+    W = NB * block_size
+
+    kf = k_cache.reshape(L, S, F)
+    vf = v_cache.reshape(L, S, F)
+    head_of = jnp.arange(Hq) // group
+    q_folded = (
+        jnp.zeros((B, Hq, Hkv, d), q.dtype)
+        .at[:, jnp.arange(Hq), head_of]
+        .set(q)
+        .reshape(B, Hq, F)
+    )
+    knf = k_new.reshape(B, 1, F)
+    vnf = v_new.reshape(B, 1, F)
+    kernel = functools.partial(
+        _decode_kernel_extend, NB=NB, bs=block_size, scale=scale
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hq, F), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, F), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, F), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, F), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, F), k_cache.dtype),
+            pltpu.VMEM((W, F), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, NB)),
+        ],
+    )
+    out_folded = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, F), q.dtype),
+        interpret=interpret,
+    )(
+        layer.reshape(1).astype(jnp.int32),
+        block_tables.reshape(-1),
+        kv_lens_existing,
+        q_folded,
+        knf,
+        vnf,
+        kf,
+        vf,
+    )
+    return out_folded.reshape(B, Hq, Hkv, d)[:, jnp.arange(Hq), head_of]
+
+
+def paged_decode_attention_extend_xla(
+    q, k_new, v_new, k_cache, v_cache, layer, block_tables,
+    kv_lens_existing, block_size, scale,
+):
+    """XLA fallback with identical semantics (CPU tests / non-TPU)."""
+    from nano_qwen3tts_tpu.ops.attention import _repeat_kv
+
+    B, Hq, d = q.shape
+    kc_l = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    vc_l = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    from nano_qwen3tts_tpu.ops.kv_cache import gather_kv
+
+    k_win, v_win = gather_kv(kc_l, vc_l, block_tables, block_size)
+    W = k_win.shape[1]
+    n_rep = Hq // k_win.shape[2]
+    k_all = jnp.concatenate([k_win, k_new[:, None]], axis=1)
+    v_all = jnp.concatenate([v_win, v_new[:, None]], axis=1)
+    k_all = _repeat_kv(k_all, n_rep)
+    v_all = _repeat_kv(v_all, n_rep)
+    logits = jnp.einsum(
+        "bhd,bshd->bhs", q, k_all, preferred_element_type=jnp.float32
+    ) * scale
+    pos = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    mask = (pos < kv_lens_existing[:, None]) | (pos == W)
+    logits = jnp.where(mask[:, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhs,bshd->bhd", probs, v_all, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)

@@ -109,3 +109,32 @@ class TestInt8Quant:
         frames = list(eng.generate(prompt, None, max_frames=4))
         assert 1 <= len(frames) <= 4
         assert all(len(f) == 16 for f in frames)
+
+
+def test_extend_attention_pallas_matches_xla(rng):
+    """Attend-with-extension kernel == XLA fallback (interpret mode)."""
+    import jax.numpy as jnp
+
+    from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+        paged_decode_attention_extend,
+        paged_decode_attention_extend_xla,
+    )
+
+    B, Hq, Hkv, d, bs, NB, L = 3, 8, 2, 64, 16, 4, 2
+    S = 32 * bs
+    q = rng.standard_normal((B, Hq, d)).astype(np.float32)
+    kn = rng.standard_normal((B, Hkv, d)).astype(np.float32)
+    vn = rng.standard_normal((B, Hkv, d)).astype(np.float32)
+    kc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
+    vc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
+    tables = np.array([[5, 9, 2, 0], [7, 1, 0, 0], [3, 4, 6, 8]], np.int32)
+    lens = np.array([40, 17, 63], np.int32)  # existing entries
+    layer = jnp.asarray(1, jnp.int32)
+    args = (
+        jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(kc), jnp.asarray(vc), layer,
+        jnp.asarray(tables), jnp.asarray(lens), bs, d**-0.5,
+    )
+    want = np.asarray(paged_decode_attention_extend_xla(*args))
+    got = np.asarray(paged_decode_attention_extend(*args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
