@@ -65,6 +65,8 @@ def build_engine(smoke: bool):
         decode_buckets=(1, 2, 4, 8, 16, 32),
         prefill_buckets=(128, 256, 512, 1024),
         frames_per_step=int(os.environ.get("BENCH_FRAMES_PER_STEP", "4")),
+        unroll_layers=os.environ.get("BENCH_UNROLL", "1") == "1",
+        quantization="int8" if os.environ.get("BENCH_INT8") == "1" else None,
     )
     from nano_qwen3tts_tpu.models.weights import host_random_init
 

@@ -81,6 +81,10 @@ class EngineConfig:
     # discovered one step late; the extra in-flight frames for a finished
     # lane are discarded (its KV writes target its own soon-freed blocks).
     pipeline_decode: bool = True
+    # Statically unroll transformer layer loops in the decode path: halves
+    # weight HBM traffic (lax.scan's per-layer weight slices copy) at the
+    # price of longer compiles. Recommended for serving.
+    unroll_layers: bool = False
 
     def __post_init__(self):
         # Power-of-two block size; (kv_heads, head_dim) are the tiled minor

@@ -81,6 +81,11 @@ class Runner:
         tc = model_config.talker_config
         self.tspec: AttnSpec = talker_spec(tc)
         self.pspec: AttnSpec = predictor_spec(tc.code_predictor_config)
+        if engine_config.unroll_layers:
+            import dataclasses
+
+            self.tspec = dataclasses.replace(self.tspec, unroll=True)
+            self.pspec = dataclasses.replace(self.pspec, unroll=True)
         self.tparams = talker_params
         self.pparams = predictor_params
         self.dtype = talker_params["norm"].dtype

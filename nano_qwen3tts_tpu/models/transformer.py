@@ -49,6 +49,11 @@ class AttnSpec:
     rope_theta: float
     attention_scaling: float = 1.0
     qkv_bias: bool = False
+    # Statically unroll the layer loop instead of lax.scan: scan slices each
+    # layer's weights into a fresh buffer per iteration, DOUBLING weight HBM
+    # traffic in the decode hot path; unrolled static slices fuse into the
+    # dots. Costs compile time — enable for serving, keep False for tests.
+    unroll: bool = False
 
     @property
     def scale(self) -> float:
@@ -251,9 +256,19 @@ def stack_decode_paged(
         h = h + swiglu_mlp(lp, xn2)
         return h, (k, v)
 
-    h, (k_rows, v_rows) = jax.lax.scan(
-        body, x, (layers, jnp.arange(L, dtype=jnp.int32))
-    )
+    if spec.unroll:
+        h = x
+        ks, vs = [], []
+        for l in range(L):
+            lp = {k: w[l] for k, w in layers.items()}
+            h, (k_l, v_l) = body(h, (lp, jnp.int32(l)))
+            ks.append(k_l)
+            vs.append(v_l)
+        k_rows, v_rows = jnp.stack(ks), jnp.stack(vs)
+    else:
+        h, (k_rows, v_rows) = jax.lax.scan(
+            body, x, (layers, jnp.arange(L, dtype=jnp.int32))
+        )
     # deferred KV writes: [L, B, Hkv, d] rows -> per-lane dynamic-update-slice
     k_rows = k_rows.astype(k_cache.dtype)
     v_rows = v_rows.astype(v_cache.dtype)
@@ -344,5 +359,16 @@ def stack_decode_dense_cache(
         h = h + swiglu_mlp(lp, xn2)
         return h, (kc_l, vc_l)
 
-    h, (k_ctx, v_ctx) = jax.lax.scan(body, x, (layers, k_ctx, v_ctx))
+    if spec.unroll:
+        L = k_ctx.shape[0]
+        h = x
+        kcs, vcs = [], []
+        for l in range(L):
+            lp = {k_: w[l] for k_, w in layers.items()}
+            h, (kc_l, vc_l) = body(h, (lp, k_ctx[l], v_ctx[l]))
+            kcs.append(kc_l)
+            vcs.append(vc_l)
+        k_ctx, v_ctx = jnp.stack(kcs), jnp.stack(vcs)
+    else:
+        h, (k_ctx, v_ctx) = jax.lax.scan(body, x, (layers, k_ctx, v_ctx))
     return rms_norm(h, norm_w, spec.rms_norm_eps), k_ctx, v_ctx

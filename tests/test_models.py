@@ -255,3 +255,33 @@ def test_kv_write_garbage_slot_isolated():
     kc2, vc2 = write_kv(kc, vc, k, v, jnp.asarray([0, 5]))
     assert np.asarray(kc2)[5].sum() == 8
     assert np.asarray(kc2)[1:5].sum() == 0
+
+
+def test_unrolled_matches_scanned_decode(talker_params, rng):
+    """spec.unroll=True must be numerically identical to the lax.scan path."""
+    import dataclasses
+
+    spec = T.talker_spec(TCFG)
+    spec_u = dataclasses.replace(spec, unroll=True)
+    bs = 4
+    kc, vc = make_kv_cache(
+        TCFG.num_hidden_layers, 8, bs, TCFG.num_key_value_heads,
+        TCFG.actual_head_dim, jnp.float32,
+    )
+    D = TCFG.hidden_size
+    # seed some KV history
+    hist_k = rng.standard_normal(
+        (TCFG.num_hidden_layers, 6, TCFG.num_key_value_heads, TCFG.actual_head_dim)
+    ).astype(np.float32)
+    hist_v = rng.standard_normal(hist_k.shape).astype(np.float32)
+    kc = kc.at[:, 4:10].set(hist_k)
+    vc = vc.at[:, 4:10].set(hist_v)
+    emb = jnp.asarray(rng.standard_normal((1, D)).astype(np.float32) * 0.5)
+    args = (
+        jnp.asarray([7], np.int32), jnp.asarray([10], np.int32),
+        jnp.asarray([[1, 2]], np.int32), jnp.asarray([7], np.int32),
+    )
+    l1, h1, _, _ = T.talker_decode(talker_params, spec, emb, *args, kc, vc, bs)
+    l2, h2, _, _ = T.talker_decode(talker_params, spec_u, emb, *args, kc, vc, bs)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)
