@@ -281,6 +281,14 @@ class SpeechTokenizer:
         self._decode_jit = jax.jit(
             partial(codec_decode, rates=self.cfg.upsample_rates)
         )
+        def _decode_pcm16(params, codes):
+            wav = codec_decode(params, codes, rates=self.cfg.upsample_rates)
+            return jnp.round(
+                jnp.clip(wav, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
+
+        # int16 on device: halves the device->host transfer for streaming
+        self._decode_pcm16_jit = jax.jit(_decode_pcm16)
         self._encode_jit = jax.jit(
             partial(codec_encode, rates=self.cfg.upsample_rates)
         )
@@ -330,6 +338,17 @@ class SpeechTokenizer:
         streaming chunk policy (examples/server.py:645-698)."""
         wavs, _ = self.decode(codes)
         return wavs[0][left_context_frames * self.cfg.hop :]
+
+    def decode_pcm16(self, codes) -> list[np.ndarray]:
+        """Decode straight to int16 PCM on device (half the transfer)."""
+        arr = self.normalize_codes(codes)
+        B, NB, T = arr.shape
+        tb = self._bucket(T)
+        padded = np.zeros((B, NB, tb), np.int32)
+        padded[:, :, :T] = arr
+        pcm = np.asarray(self._decode_pcm16_jit(self.params, jnp.asarray(padded)))
+        n = T * self.cfg.hop
+        return [pcm[b, :n] for b in range(B)]
 
     def chunked_decode(
         self, codes, chunk_size: int = 300, left_context: int = 25

@@ -85,6 +85,10 @@ class EngineConfig:
     # weight HBM traffic (lax.scan's per-layer weight slices copy) at the
     # price of longer compiles. Recommended for serving.
     unroll_layers: bool = False
+    # Dense prefill materializes [B, H, T, T] attention logits; cap the
+    # padded tokens (bucket_B * bucket_T) per prefill dispatch so a batch of
+    # long prompts cannot blow HBM (batches are split to fit).
+    max_prefill_tokens_per_step: int = 4096
 
     def __post_init__(self):
         # Power-of-two block size; (kv_heads, head_dim) are the tiled minor

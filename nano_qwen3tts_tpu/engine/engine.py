@@ -158,7 +158,17 @@ class TTSEngine:
         return results + self._run_batch(seqs, is_prefill, n)
 
     def _run_batch(self, seqs, is_prefill, n):
-        max_bucket = self.cfg.decode_buckets[-1]
+        if is_prefill:
+            # cap padded tokens per dispatch ([B,H,T,T] prefill logits)
+            tb = next(
+                (t for t in self.cfg.prefill_buckets
+                 if max(s.prompt_len for s in seqs) <= t),
+                self.cfg.prefill_buckets[-1],
+            )
+            max_bucket = max(1, self.cfg.max_prefill_tokens_per_step // tb)
+            max_bucket = min(max_bucket, self.cfg.decode_buckets[-1])
+        else:
+            max_bucket = self.cfg.decode_buckets[-1]
         chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]
         frames = np.concatenate(
             [
