@@ -72,6 +72,13 @@ class TTSEngine:
             self.runner.set_tts_pad(np.asarray(tts_pad_embed))
         # async plumbing
         self._pending = None  # in-flight pipelined decode (seqs, bases, dev frames, n)
+        # observability (reference logs wall-clock deltas through the hot
+        # path — interface.py:1260-1299; we keep cheap counters + EMAs)
+        self.stats = {
+            "steps": 0, "prefills": 0, "frames_emitted": 0,
+            "requests_started": 0, "requests_finished": 0,
+            "step_ms_ema": 0.0,
+        }
         self._queues: dict[str, asyncio.Queue] = {}
         self._loop_task: Optional[asyncio.Task] = None
         self._wake: Optional[asyncio.Event] = None
@@ -94,6 +101,7 @@ class TTSEngine:
         ignore_eos: bool = False,
     ) -> str:
         request_id = request_id or str(uuid.uuid4())
+        self.stats["requests_started"] += 1
         prompt_embeds = np.asarray(prompt_embeds, np.float32)
         if prompt_embeds.ndim == 3:
             prompt_embeds = prompt_embeds[0]
@@ -136,6 +144,21 @@ class TTSEngine:
         Returns [(request_id, frame_or_None, finished)] for every scheduled
         sequence. frame is the 16-entry codebook list; None on EOS.
         """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self._step_inner()
+        dt_ms = (_time.perf_counter() - t0) * 1e3
+        st = self.stats
+        st["steps"] += 1
+        st["frames_emitted"] += sum(1 for _, f, _ in out if f is not None)
+        st["requests_finished"] += sum(1 for _, _, fin in out if fin)
+        st["step_ms_ema"] = (
+            dt_ms if st["step_ms_ema"] == 0 else 0.95 * st["step_ms_ema"] + 0.05 * dt_ms
+        )
+        return out
+
+    def _step_inner(self) -> list[tuple[str, Optional[list[int]], bool]]:
         n = self.cfg.frames_per_step
         pipelining = n > 1 and self.cfg.pipeline_decode
         if pipelining and not self.scheduler.waiting:

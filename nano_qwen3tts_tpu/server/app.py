@@ -166,6 +166,9 @@ class TTSServer:
         self.registry = VoiceRegistry(voices_dir)
         self.decoder = DecodeWorker(interface.speech_tokenizer)
         self._server: Optional[asyncio.AbstractServer] = None
+        # DEBUG_SAVE_AUDIO=dir: dump each stream's PCM to a WAV
+        # (reference server.py:103-130)
+        self.debug_dir = os.environ.get("DEBUG_SAVE_AUDIO") or None
 
     # ------------------------------------------------------------------
     # stream generation: frames -> PCM chunks
@@ -231,11 +234,27 @@ class TTSServer:
             )
         else:
             gen = self.iface.generate_custom_voice_async(text, language, voice)
+        debug_chunks = [] if self.debug_dir else None
         try:
             async for chunk in self._pcm_chunks(gen, clone_prefix):
+                if debug_chunks is not None:
+                    debug_chunks.append(chunk)
                 yield chunk
         finally:
             await gen.aclose()  # cancellation path -> engine.clear_request
+            if debug_chunks:
+                try:
+                    os.makedirs(self.debug_dir, exist_ok=True)
+                    pcm = np.frombuffer(b"".join(debug_chunks), dtype="<i2")
+                    from nano_qwen3tts_tpu.audio.wav import write_wav
+
+                    path = os.path.join(
+                        self.debug_dir, f"stream_{uuid.uuid4().hex[:8]}.wav"
+                    )
+                    write_wav(path, pcm.astype(np.float32) / 32768.0, 24000)
+                    logger.info("debug audio saved: %s", path)
+                except Exception as e:
+                    logger.warning("debug audio save failed: %s", e)
 
     # ------------------------------------------------------------------
     # HTTP plumbing (stdlib asyncio)
@@ -275,7 +294,8 @@ class TTSServer:
 
     async def _route(self, method, path, body, writer):
         if method == "GET" and path == "/health":
-            await _respond_json(writer, 200, {"status": "ok"})
+            stats = dict(getattr(self.iface.engine, "stats", {}))
+            await _respond_json(writer, 200, {"status": "ok", "engine": stats})
         elif method == "GET" and path == "/voices":
             builtin = sorted((self.iface.model_config.talker_config.spk_id or {}).keys())
             await _respond_json(
