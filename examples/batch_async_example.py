@@ -6,7 +6,7 @@ import time
 
 import numpy as np
 
-from common import base_parser, build_interface
+from common import base_parser, build_interface, maybe_force_cpu
 
 
 async def consume(iface, text, speaker, stats):
@@ -44,7 +44,9 @@ async def main_async(args):
 def main():
     ap = base_parser("Concurrent async streams")
     ap.add_argument("-n", type=int, default=4)
-    asyncio.run(main_async(ap.parse_args()))
+    args = ap.parse_args()
+    maybe_force_cpu(args)
+    asyncio.run(main_async(args))
 
 
 if __name__ == "__main__":

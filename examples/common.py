@@ -87,4 +87,16 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--text", default="Hello from the TPU TTS engine.")
     ap.add_argument("--language", default="English")
     ap.add_argument("--out", default=None, help="output WAV path")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (this image pre-registers the TPU "
+        "platform; plain JAX_PLATFORMS=cpu is overridden)",
+    )
     return ap
+
+
+def maybe_force_cpu(args):
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

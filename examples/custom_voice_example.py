@@ -1,13 +1,14 @@
 """CustomVoice synthesis (parity: reference interface __main__ +
 examples usage): prompt -> codec frames -> WAV."""
 
-from common import base_parser, build_interface
+from common import base_parser, build_interface, maybe_force_cpu
 
 
 def main():
     ap = base_parser("CustomVoice example")
     ap.add_argument("--speaker", default="Vivian")
     args = ap.parse_args()
+    maybe_force_cpu(args)
     iface = build_interface(args.model)
     frames = list(
         iface.generate_custom_voice(

@@ -7,7 +7,7 @@ bench.py at the repo root.
 
 import time
 
-from common import base_parser, build_interface
+from common import base_parser, build_interface, maybe_force_cpu
 
 
 def main():
@@ -15,6 +15,7 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=50)
     args = ap.parse_args()
+    maybe_force_cpu(args)
     iface = build_interface(args.model)
 
     # warmup (compiles the serving buckets — reference does a warmup ramp)

@@ -4,7 +4,7 @@ synthesize in that voice."""
 
 import numpy as np
 
-from common import base_parser, build_interface
+from common import base_parser, build_interface, maybe_force_cpu
 
 
 def main():
@@ -13,6 +13,7 @@ def main():
     ap.add_argument("--ref-text", default="This is the reference transcript.")
     ap.add_argument("--x-vector-only", action="store_true")
     args = ap.parse_args()
+    maybe_force_cpu(args)
     iface = build_interface(args.model)
 
     if args.ref_audio:

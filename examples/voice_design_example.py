@@ -1,7 +1,7 @@
 """VoiceDesign synthesis (parity: reference examples/voice_design_example.py):
 natural-language instruction controls the voice."""
 
-from common import base_parser, build_interface
+from common import base_parser, build_interface, maybe_force_cpu
 
 
 def main():
@@ -10,6 +10,7 @@ def main():
         "--instruct", default="Male, 30 years old, calm and professional."
     )
     args = ap.parse_args()
+    maybe_force_cpu(args)
     iface = build_interface(args.model)
     frames = list(
         iface.generate_voice_design(

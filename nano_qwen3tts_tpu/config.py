@@ -290,9 +290,15 @@ class Qwen3TTSConfig:
 def preset_config(name: str) -> Qwen3TTSConfig:
     name = name.lower()
     if name in ("1.7b", "1_7b", "17"):
-        return Qwen3TTSConfig(tts_model_size="1.7b")
+        # NOTE: vocab 4224, not the dataclass default 3072 — the codec
+        # control ids (codec_pad 4196 .. codec_think_eos 4205) must be valid
+        # rows of the codec embedding, as in real checkpoints' config.json.
+        return Qwen3TTSConfig(
+            talker_config=TalkerConfig(vocab_size=4224), tts_model_size="1.7b"
+        )
     if name in ("0.6b", "0_6b", "06"):
         talker = TalkerConfig(
+            vocab_size=4224,
             hidden_size=768,
             intermediate_size=1536,
             num_hidden_layers=16,
