@@ -160,6 +160,24 @@ class TTSEngine:
 
     def _step_inner(self) -> list[tuple[str, Optional[list[int]], bool]]:
         n = self.cfg.frames_per_step
+        # Lanes whose KV is full cannot take another decode write; finish
+        # them BEFORE scheduling (scheduling one would grow the block table
+        # past max_blocks_per_seq).
+        capped = [
+            q for q in self.scheduler.running
+            if q.kv_len >= self.cfg.max_model_len
+        ]
+        if capped:
+            results = self._flush_pending()  # may already force-finish them
+            for q in capped:
+                if not q.is_finished:
+                    logger.warning(
+                        "request %s hit max_model_len, force-finishing",
+                        q.request_id,
+                    )
+                    self._finish_seq(q)
+                    results.append((q.request_id, None, True))
+            return results
         pipelining = n > 1 and self.cfg.pipeline_decode
         if pipelining and not self.scheduler.waiting:
             # pure-decode stretch: pipelined fast path
@@ -430,7 +448,14 @@ class TTSEngine:
                 # batch near-simultaneous arrivals into one prefill
                 # (reference PREFILL_COLLECT_MS, zmq/engine_loop_mp.py:44-53)
                 await asyncio.sleep(self.prefill_collect_s)
-            results = await loop.run_in_executor(None, self.step)
+            try:
+                results = await loop.run_in_executor(None, self.step)
+            except Exception:
+                # Keep serving other requests (reference engine loops swallow
+                # step exceptions the same way, zmq/engine_loop_mp.py:67-69).
+                logger.exception("engine step failed")
+                await asyncio.sleep(0.05)
+                continue
             for req_id, frame, finished in results:
                 q = self._queues.get(req_id)
                 if q is None:

@@ -304,8 +304,8 @@ class Runner:
             pool_idx[i] = s.pool_slot
             positions[i] = s.rope_position
             slots[i] = s.next_slot
-            nt = len(s.block_table)
-            tables[i, :nt] = s.block_table
+            nt = min(len(s.block_table), self.NB)
+            tables[i, :nt] = s.block_table[:nt]
             kv_lens[i] = s.kv_len + 1
             step_idx[i] = s.frames_emitted
             temps_t[i] = s.temperature
@@ -359,8 +359,8 @@ class Runner:
                 meta[i, 0] = s.pool_slot
                 meta[i, 1] = s.kv_len
                 meta[i, 2] = s.frames_emitted
-                nt = len(s.block_table)
-                meta[i, 3 : 3 + nt] = s.block_table
+                nt = min(len(s.block_table), self.NB)
+                meta[i, 3 : 3 + nt] = s.block_table[:nt]
                 temps[0, i] = s.temperature
                 temps[1, i] = getattr(s, "predictor_temperature", 0.9)
             meta_dev = jnp.asarray(meta)

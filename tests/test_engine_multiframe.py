@@ -84,3 +84,26 @@ def test_multiframe_near_model_len_falls_back(rng):
     assert len(frames) <= 9  # 1 prefill frame + 8 decode writes
     assert not eng.has_work()
     assert eng.scheduler.block_manager.num_free_blocks == 63
+
+
+def test_unbounded_stream_terminates_at_model_len(rng):
+    """Regression: a stream that never hits EOS must terminate cleanly at
+    max_model_len under pipelined multi-frame stepping (previously grew a
+    block table past max_blocks_per_seq and killed the engine loop)."""
+    eng = make_engine(4)
+    prompt = (rng.standard_normal((30, TCFG.hidden_size)) * 0.3).astype(np.float32)
+    rid = eng.add_request(prompt, None, request_id="cap", ignore_eos=True)
+    frames = 0
+    finished = False
+    for _ in range(80):
+        res = eng.step()
+        for r, f, fin in res:
+            if f is not None:
+                frames += 1
+            finished = finished or fin
+        if finished and not eng.has_work():
+            break
+    assert finished
+    assert frames <= 128 - 30 + 1
+    assert not eng.has_work()
+    assert eng.scheduler.block_manager.num_free_blocks == 63
