@@ -123,7 +123,9 @@ class Runner:
         # signature; any out-of-band state change must invalidate.
         self._dev_meta = None
         self._dev_temps = None
-        self._dev_key = self.base_key
+        # independent key: the multi-step jit DONATES its key argument, so
+        # it must never alias base_key (used by the single-frame paths)
+        self._dev_key = jax.random.fold_in(self.base_key, 0x5EED)
         self._meta_sig = None
         self._decode_fns: dict[int, callable] = {}
         self._decode_multi_fns: dict[tuple[int, int], callable] = {}
