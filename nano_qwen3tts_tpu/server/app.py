@@ -69,8 +69,13 @@ class DecodeWorker:
     (server.py:372-465). Jobs with identical window length decode as one
     batched codec call."""
 
-    def __init__(self, speech_tokenizer, collect_ms: float = 2.0):
+    def __init__(self, speech_tokenizer, collect_ms: Optional[float] = None):
         self.codec = speech_tokenizer
+        if collect_ms is None:
+            # under many CCU, a longer window lets all live streams' chunks
+            # ride one batched codec call (reference: decode micro-batching,
+            # server.py:372-465)
+            collect_ms = float(os.environ.get("DECODER_COLLECT_MS", "8"))
         self.collect_s = collect_ms / 1e3
         self.queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
@@ -112,15 +117,24 @@ class DecodeWorker:
             for c, f in jobs:
                 by_len.setdefault(c.shape[0], []).append((c, f))
             loop = asyncio.get_running_loop()
+            use_pcm16 = hasattr(self.codec, "decode_pcm16")
             for T, group in by_len.items():
                 batch = np.stack([c.T for c, _ in group])  # [B, 16, T]
                 try:
-                    wavs, _ = await loop.run_in_executor(
-                        None, self.codec.decode, batch
-                    )
-                    for (c, f), w in zip(group, wavs):
-                        if not f.done():
-                            f.set_result(w)
+                    if use_pcm16:
+                        pcms = await loop.run_in_executor(
+                            None, self.codec.decode_pcm16, batch
+                        )
+                        for (c, f), w in zip(group, pcms):
+                            if not f.done():
+                                f.set_result(w)
+                    else:
+                        wavs, _ = await loop.run_in_executor(
+                            None, self.codec.decode, batch
+                        )
+                        for (c, f), w in zip(group, wavs):
+                            if not f.done():
+                                f.set_result(w)
                 except Exception as e:  # pragma: no cover
                     for _, f in group:
                         if not f.done():
@@ -198,6 +212,10 @@ class TTSServer:
             wav = wav[(emitted - ctx_start) * hop : (upto - ctx_start) * hop]
             emitted = upto
             chunk_no += 1
+            if wav.dtype == np.int16:  # device-side PCM16 path
+                if s.volume != 1.0:
+                    return pcm16_bytes(wav.astype(np.float32) / 32768.0 * s.volume)
+                return wav.astype("<i2").tobytes()
             if s.volume != 1.0:
                 wav = wav * s.volume
             return pcm16_bytes(wav)
