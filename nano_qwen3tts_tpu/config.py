@@ -89,6 +89,11 @@ class EngineConfig:
     # padded tokens (bucket_B * bucket_T) per prefill dispatch so a batch of
     # long prompts cannot blow HBM (batches are split to fit).
     max_prefill_tokens_per_step: int = 4096
+    # Cap sequences per prefill dispatch: keeps the set of compiled prefill
+    # programs tiny ((1,T) and (2,T) per token bucket) — a thundering herd
+    # of arrivals is chunked through warmed programs instead of lazily
+    # compiling a (8,T) one mid-serve.
+    max_prefill_batch: int = 2
 
     def __post_init__(self):
         # Power-of-two block size; (kv_heads, head_dim) are the tiled minor

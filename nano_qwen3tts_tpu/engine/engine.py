@@ -207,7 +207,9 @@ class TTSEngine:
                 self.cfg.prefill_buckets[-1],
             )
             max_bucket = max(1, self.cfg.max_prefill_tokens_per_step // tb)
-            max_bucket = min(max_bucket, self.cfg.decode_buckets[-1])
+            max_bucket = min(
+                max_bucket, self.cfg.decode_buckets[-1], self.cfg.max_prefill_batch
+            )
         else:
             max_bucket = self.cfg.decode_buckets[-1]
         chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]

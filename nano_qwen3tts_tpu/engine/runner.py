@@ -386,9 +386,11 @@ class Runner:
         """Pre-compile the hot buckets (replaces CUDA-graph capture and the
         reference server's warmup ramp, examples/server.py:253-277)."""
         decode_buckets = decode_buckets or self.cfg.decode_buckets
-        prefill_shapes = prefill_shapes or [
-            (1, t) for t in self.cfg.prefill_buckets
-        ]
+        if prefill_shapes is None:
+            prefill_bbs = sorted({1, self.cfg.max_prefill_batch})
+            prefill_shapes = [
+                (bb, t) for t in self.cfg.prefill_buckets for bb in prefill_bbs
+            ]
         n = self.cfg.frames_per_step
         for bb in decode_buckets:
             t0 = time.time()
