@@ -450,8 +450,10 @@ class TTSEngine:
                 # batch near-simultaneous arrivals into one prefill
                 # (reference PREFILL_COLLECT_MS, zmq/engine_loop_mp.py:44-53)
                 await asyncio.sleep(self.prefill_collect_s)
+            from nano_qwen3tts_tpu.engine.device_executor import DEVICE_EXECUTOR
+
             try:
-                results = await loop.run_in_executor(None, self.step)
+                results = await loop.run_in_executor(DEVICE_EXECUTOR, self.step)
             except Exception:
                 # Keep serving other requests (reference engine loops swallow
                 # step exceptions the same way, zmq/engine_loop_mp.py:67-69).

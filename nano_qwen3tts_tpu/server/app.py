@@ -116,6 +116,8 @@ class DecodeWorker:
             by_len: dict[int, list] = {}
             for c, f in jobs:
                 by_len.setdefault(c.shape[0], []).append((c, f))
+            from nano_qwen3tts_tpu.engine.device_executor import DEVICE_EXECUTOR
+
             loop = asyncio.get_running_loop()
             use_pcm16 = hasattr(self.codec, "decode_pcm16")
             for T, group in by_len.items():
@@ -123,14 +125,14 @@ class DecodeWorker:
                 try:
                     if use_pcm16:
                         pcms = await loop.run_in_executor(
-                            None, self.codec.decode_pcm16, batch
+                            DEVICE_EXECUTOR, self.codec.decode_pcm16, batch
                         )
                         for (c, f), w in zip(group, pcms):
                             if not f.done():
                                 f.set_result(w)
                     else:
                         wavs, _ = await loop.run_in_executor(
-                            None, self.codec.decode, batch
+                            DEVICE_EXECUTOR, self.codec.decode, batch
                         )
                         for (c, f), w in zip(group, wavs):
                             if not f.done():
@@ -359,8 +361,10 @@ class TTSServer:
         await self.decoder.start()
         if warmup:
             t0 = time.time()
+            from nano_qwen3tts_tpu.engine.device_executor import DEVICE_EXECUTOR
+
             await asyncio.get_running_loop().run_in_executor(
-                None, self.iface.warmup
+                DEVICE_EXECUTOR, self.iface.warmup
             )
             logger.info("warmup done in %.1fs", time.time() - t0)
         self._server = await asyncio.start_server(self._handle, host, port)
