@@ -102,14 +102,22 @@ class Runner:
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         self.attn_impl = impl
         self.num_blocks = num_kvcache_blocks or self._auto_num_blocks()
-        self.k_cache, self.v_cache = make_kv_cache(
-            tc.num_hidden_layers,
-            self.num_blocks,
-            self.block_size,
-            tc.num_key_value_heads,
-            self.tspec.head_dim,
-            jnp.bfloat16 if self.dtype == jnp.bfloat16 else self.dtype,
-        )
+        if engine_config.kv_cache_dtype == "int8":
+            from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache_int8
+
+            self.k_cache, self.v_cache = make_kv_cache_int8(
+                tc.num_hidden_layers, self.num_blocks, self.block_size,
+                tc.num_key_value_heads, self.tspec.head_dim,
+            )
+        else:
+            self.k_cache, self.v_cache = make_kv_cache(
+                tc.num_hidden_layers,
+                self.num_blocks,
+                self.block_size,
+                tc.num_key_value_heads,
+                self.tspec.head_dim,
+                jnp.bfloat16 if self.dtype == jnp.bfloat16 else self.dtype,
+            )
 
         # Pools (row 0 = garbage lane).
         self.P = engine_config.max_active_streams + 1
@@ -142,13 +150,14 @@ class Runner:
 
     def _auto_num_blocks(self) -> int:
         tc = self.mcfg.talker_config
+        kv_bytes = 1 if self.cfg.kv_cache_dtype == "int8" else 2
         bytes_per_block = (
             2  # k + v
             * tc.num_hidden_layers
             * self.block_size
             * tc.num_key_value_heads
             * self.tspec.head_dim
-            * 2  # bf16
+            * kv_bytes
         )
         budget = None
         try:

@@ -229,14 +229,27 @@ def stack_decode_paged(
     B = x.shape[0]
     n_exist = kv_lens - 1  # entries already in the cache
 
+    from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV, quantize_kv_rows
+
+    int8_kv = isinstance(k_cache, QuantizedKV)
     if attn_impl == "pallas":
-        from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
-            paged_decode_attention_extend as _attend,
-        )
+        if int8_kv:
+            from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+                paged_decode_attention_extend_int8 as _attend,
+            )
+        else:
+            from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+                paged_decode_attention_extend as _attend,
+            )
     else:
-        from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
-            paged_decode_attention_extend_xla as _attend,
-        )
+        if int8_kv:
+            from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+                paged_decode_attention_extend_int8_xla as _attend,
+            )
+        else:
+            from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+                paged_decode_attention_extend_xla as _attend,
+            )
 
     def body(h, per_layer):
         lp, l = per_layer
@@ -270,6 +283,27 @@ def stack_decode_paged(
             body, x, (layers, jnp.arange(L, dtype=jnp.int32))
         )
     # deferred KV writes: [L, B, Hkv, d] rows -> per-lane dynamic-update-slice
+    if int8_kv:
+        kq, ks = quantize_kv_rows(k_rows)  # [L,B,Hkv,d] -> int8 + [L,B]
+        vq, vs = quantize_kv_rows(v_rows)
+        for i in range(B):
+            k_cache = QuantizedKV(
+                jax.lax.dynamic_update_slice(
+                    k_cache.q, kq[:, i : i + 1], (0, slots[i], 0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    k_cache.s, ks[:, i : i + 1], (0, slots[i])
+                ),
+            )
+            v_cache = QuantizedKV(
+                jax.lax.dynamic_update_slice(
+                    v_cache.q, vq[:, i : i + 1], (0, slots[i], 0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    v_cache.s, vs[:, i : i + 1], (0, slots[i])
+                ),
+            )
+        return rms_norm(h, norm_w, spec.rms_norm_eps), k_cache, v_cache
     k_rows = k_rows.astype(k_cache.dtype)
     v_rows = v_rows.astype(v_cache.dtype)
     for i in range(B):

@@ -39,13 +39,28 @@ def make_kv_cache(
 
 
 def write_kv(
-    k_cache_l: jax.Array,  # [S, Hkv, d]  (single layer)
-    v_cache_l: jax.Array,
+    k_cache_l,  # [S, Hkv, d] array or single-layer QuantizedKV view
+    v_cache_l,
     k: jax.Array,  # [N, Hkv, d] new rows
     v: jax.Array,
     slots: jax.Array,  # [N] int32 flat slot ids (garbage slots for pads)
-) -> tuple[jax.Array, jax.Array]:
-    """Scatter N new KV rows into one layer's cache at ``slots``."""
+):
+    """Scatter N new KV rows into one layer's cache at ``slots``.
+
+    For an int8 cache the rows are quantized here (per-row scales)."""
+    if isinstance(k_cache_l, QuantizedKV):
+        kq, ks = quantize_kv_rows(k)
+        vq, vs = quantize_kv_rows(v)
+        return (
+            QuantizedKV(
+                k_cache_l.q.at[slots].set(kq, mode="drop"),
+                k_cache_l.s.at[slots].set(ks, mode="drop"),
+            ),
+            QuantizedKV(
+                v_cache_l.q.at[slots].set(vq, mode="drop"),
+                v_cache_l.s.at[slots].set(vs, mode="drop"),
+            ),
+        )
     k_cache_l = k_cache_l.at[slots].set(k.astype(k_cache_l.dtype), mode="drop")
     v_cache_l = v_cache_l.at[slots].set(v.astype(v_cache_l.dtype), mode="drop")
     return k_cache_l, v_cache_l
@@ -81,3 +96,63 @@ def prefill_slot_mapping(block_table: list[int], num_tokens: int, block_size: in
     pos = np.arange(num_tokens)
     blocks = np.asarray(block_table, dtype=np.int64)[pos // block_size]
     return (blocks * block_size + pos % block_size).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# INT8 paged KV cache (north-star: "INT8 paged KV-cache").
+#
+# Per-slot symmetric scales: each written row (one token's K or V across all
+# heads) gets one f32 scale = absmax/127. Quantization happens at write time
+# (XLA, fused into the step); dequantization happens where the cache is
+# read — in VMEM right after the DMA in the Pallas kernel, or in the XLA
+# gather fallback. Halves KV HBM footprint and read bandwidth.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedKV:
+    """int8 cache [L, S, Hkv, d] + per-slot scales [L, S] (f32)."""
+
+    def __init__(self, q, s):
+        self.q = q
+        self.s = s
+
+    def tree_flatten(self):
+        return (self.q, self.s), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+
+def make_kv_cache_int8(
+    num_layers: int, num_blocks: int, block_size: int, kv_heads: int, head_dim: int
+) -> tuple[QuantizedKV, QuantizedKV]:
+    S = num_blocks * block_size
+    shape = (num_layers, S, kv_heads, head_dim)
+    mk = lambda: QuantizedKV(
+        jnp.zeros(shape, jnp.int8), jnp.ones((num_layers, S), jnp.float32)
+    )
+    return mk(), mk()
+
+
+def quantize_kv_rows(x: jax.Array):
+    """x [..., Hkv, d] -> (int8 rows, f32 scales [...]) per leading index."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=(-2, -1))
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(xf / scale[..., None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+

@@ -495,3 +495,224 @@ def paged_decode_attention_extend_xla(
         "bhs,bshd->bhd", probs, v_all, preferred_element_type=jnp.float32
     )
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# INT8-KV attend-with-extension. Same structure as the bf16 extend kernel,
+# but the cache tiles arrive as int8 with per-slot f32 scales; the scales
+# fold into the math instead of materializing a dequantized copy:
+#   logits[:, w] = scale_k[w] * (q_folded . k_q[w])
+#   out          = (P * scale_v) @ v_q
+# Only the scale tails need zeroing beyond kv_len (int8 garbage cannot be
+# NaN; a stale f32 scale could be).
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_extend_int8(
+    layer_ref, bt_ref, len_ref,
+    q_ref,  # [1, Hq, F]
+    kn_ref,  # [1, 1, F] current-token K (bf16)
+    vn_ref,
+    kq_hbm,  # [L, S, F] int8
+    ks_hbm,  # [L, 1, S] f32 scales
+    vq_hbm,
+    vs_hbm,
+    o_ref,
+    kq_vmem,  # [W, F] int8
+    ks_vmem,  # [1, W] f32
+    vq_vmem,
+    vs_vmem,
+    sems,  # [4, NB]
+    *,
+    NB: int,
+    bs: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    n = len_ref[b]
+    n_blk = (n + bs - 1) // bs
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            blk = bt_ref[b * NB + i]
+            start = pl.multiple_of(blk * bs, bs)
+            pltpu.make_async_copy(
+                kq_hbm.at[l, pl.ds(start, bs)], kq_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[0, i],
+            ).start()
+            pltpu.make_async_copy(
+                vq_hbm.at[l, pl.ds(start, bs)], vq_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[1, i],
+            ).start()
+            pltpu.make_async_copy(
+                ks_hbm.at[l, :, pl.ds(start, bs)], ks_vmem.at[:, pl.ds(i * bs, bs)],
+                sems.at[2, i],
+            ).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[l, :, pl.ds(start, bs)], vs_vmem.at[:, pl.ds(i * bs, bs)],
+                sems.at[3, i],
+            ).start()
+
+        @pl.when(i >= n_blk)
+        def _(i=i):
+            ks_vmem[:, pl.ds(i * bs, bs)] = jnp.zeros_like(
+                ks_vmem[:, pl.ds(i * bs, bs)]
+            )
+            vs_vmem[:, pl.ds(i * bs, bs)] = jnp.zeros_like(
+                vs_vmem[:, pl.ds(i * bs, bs)]
+            )
+
+    for i in range(NB):
+        @pl.when(i < n_blk)
+        def _(i=i):
+            pltpu.make_async_copy(
+                kq_hbm.at[l, pl.ds(0, bs)], kq_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[0, i],
+            ).wait()
+            pltpu.make_async_copy(
+                vq_hbm.at[l, pl.ds(0, bs)], vq_vmem.at[pl.ds(i * bs, bs)],
+                sems.at[1, i],
+            ).wait()
+            pltpu.make_async_copy(
+                ks_hbm.at[l, :, pl.ds(0, bs)], ks_vmem.at[:, pl.ds(i * bs, bs)],
+                sems.at[2, i],
+            ).wait()
+            pltpu.make_async_copy(
+                vs_hbm.at[l, :, pl.ds(0, bs)], vs_vmem.at[:, pl.ds(i * bs, bs)],
+                sems.at[3, i],
+            ).wait()
+
+    q = q_ref[0]  # [Hq, F] bf16
+    logits = (
+        jax.lax.dot_general(
+            q, kq_vmem[...].astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        * ks_vmem[...]  # [1, W] broadcast over heads
+    )
+    valid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) < n
+    logits = jnp.where(valid, logits, NEG_INF)
+    logit_new = (
+        jnp.sum(q * kn_ref[0], axis=-1, keepdims=True).astype(jnp.float32) * scale
+    )
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), logit_new)
+    p = jnp.exp(logits - m)
+    p_new = jnp.exp(logit_new - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + p_new
+    p_scaled = (p / denom) * vs_vmem[...]  # fold V scales into P
+    out = jax.lax.dot_general(
+        p_scaled.astype(q.dtype), vq_vmem[...].astype(q.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + (p_new / denom) * vn_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def paged_decode_attention_extend_int8(
+    q, k_new, v_new, k_cache, v_cache, layer, block_tables,
+    kv_lens_existing, block_size, scale, interpret=False,
+):
+    """k_cache/v_cache are ops.kv_cache.QuantizedKV."""
+    B, Hq, d = q.shape
+    L, S, Hkv, _ = k_cache.q.shape
+    F = Hkv * d
+    group = Hq // Hkv
+    NB = block_tables.shape[1]
+    W = NB * block_size
+
+    kf = k_cache.q.reshape(L, S, F)
+    vf = v_cache.q.reshape(L, S, F)
+    ks = k_cache.s.reshape(L, 1, S)
+    vs = v_cache.s.reshape(L, 1, S)
+    head_of = jnp.arange(Hq) // group
+    q_folded = (
+        jnp.zeros((B, Hq, Hkv, d), q.dtype)
+        .at[:, jnp.arange(Hq), head_of]
+        .set(q)
+        .reshape(B, Hq, F)
+    )
+    knf = k_new.reshape(B, 1, F)
+    vnf = v_new.reshape(B, 1, F)
+    kernel = functools.partial(
+        _decode_kernel_extend_int8, NB=NB, bs=block_size, scale=scale
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hq, F), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, F), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, F), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, F), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((W, F), jnp.int8),
+            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.VMEM((W, F), jnp.int8),
+            pltpu.VMEM((1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, NB)),
+        ],
+    )
+    out_folded = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, F), q.dtype),
+        interpret=interpret,
+    )(
+        layer.reshape(1).astype(jnp.int32),
+        block_tables.reshape(-1),
+        kv_lens_existing,
+        q_folded,
+        knf,
+        vnf,
+        kf,
+        ks,
+        vf,
+        vs,
+    )
+    return out_folded.reshape(B, Hq, Hkv, d)[:, jnp.arange(Hq), head_of]
+
+
+def paged_decode_attention_extend_int8_xla(
+    q, k_new, v_new, k_cache, v_cache, layer, block_tables,
+    kv_lens_existing, block_size, scale,
+):
+    """XLA fallback: dequantize the gathered window, then the bf16 math."""
+    kq_l = jax.lax.dynamic_index_in_dim(k_cache.q, layer, 0, keepdims=False)
+    ks_l = jax.lax.dynamic_index_in_dim(k_cache.s, layer, 0, keepdims=False)
+    vq_l = jax.lax.dynamic_index_in_dim(v_cache.q, layer, 0, keepdims=False)
+    vs_l = jax.lax.dynamic_index_in_dim(v_cache.s, layer, 0, keepdims=False)
+    from nano_qwen3tts_tpu.ops.attention import _repeat_kv
+    from nano_qwen3tts_tpu.ops.kv_cache import gather_kv
+
+    B, Hq, d = q.shape
+    k_win_q, v_win_q = gather_kv(kq_l, vq_l, block_tables, block_size)
+    offs = jnp.arange(block_size, dtype=jnp.int32)
+    slots = (
+        block_tables[:, :, None] * block_size + offs[None, None, :]
+    ).reshape(B, -1)
+    k_win = k_win_q.astype(jnp.float32) * ks_l[slots][..., None, None]
+    v_win = v_win_q.astype(jnp.float32) * vs_l[slots][..., None, None]
+    W = k_win.shape[1]
+    n_rep = Hq // k_win.shape[2]
+    k_all = jnp.concatenate([k_win.astype(q.dtype), k_new[:, None]], axis=1)
+    v_all = jnp.concatenate([v_win.astype(q.dtype), v_new[:, None]], axis=1)
+    k_all = _repeat_kv(k_all, n_rep)
+    v_all = _repeat_kv(v_all, n_rep)
+    logits = jnp.einsum(
+        "bhd,bshd->bhs", q, k_all, preferred_element_type=jnp.float32
+    ) * scale
+    pos = jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    mask = (pos < kv_lens_existing[:, None]) | (pos == W)
+    logits = jnp.where(mask[:, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhs,bshd->bhd", probs, v_all, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)

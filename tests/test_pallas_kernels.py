@@ -138,3 +138,101 @@ def test_extend_attention_pallas_matches_xla(rng):
     want = np.asarray(paged_decode_attention_extend_xla(*args))
     got = np.asarray(paged_decode_attention_extend(*args, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestInt8KV:
+    def test_extend_int8_xla_close_to_bf16(self, rng):
+        """int8-KV attention ~= full-precision attention (quantization noise)."""
+        import jax.numpy as jnp
+
+        from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV, quantize_kv_rows
+        from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+            paged_decode_attention_extend_int8_xla,
+            paged_decode_attention_extend_xla,
+        )
+
+        B, Hq, Hkv, d, bs, NB, L = 2, 8, 2, 64, 16, 4, 2
+        S = 32 * bs
+        q = rng.standard_normal((B, Hq, d)).astype(np.float32)
+        kn = rng.standard_normal((B, Hkv, d)).astype(np.float32)
+        vn = rng.standard_normal((B, Hkv, d)).astype(np.float32)
+        kc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
+        vc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
+        kq, ks = quantize_kv_rows(jnp.asarray(kc))
+        vq, vs = quantize_kv_rows(jnp.asarray(vc))
+        kqkv, vqkv = QuantizedKV(kq, ks), QuantizedKV(vq, vs)
+        tables = np.array([[5, 9, 2, 0], [7, 1, 0, 0]], np.int32)
+        lens = np.array([40, 17], np.int32)
+        layer = jnp.asarray(1, jnp.int32)
+        args = (jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn))
+        tail = (layer, jnp.asarray(tables), jnp.asarray(lens), bs, d**-0.5)
+        want = np.asarray(
+            paged_decode_attention_extend_xla(
+                *args, jnp.asarray(kc), jnp.asarray(vc), *tail
+            )
+        )
+        got = np.asarray(
+            paged_decode_attention_extend_int8_xla(*args, kqkv, vqkv, *tail)
+        )
+        rel = np.abs(got - want).mean() / np.abs(want).mean()
+        assert rel < 0.02, rel
+
+    def test_extend_int8_pallas_matches_xla(self, rng):
+        import jax.numpy as jnp
+
+        from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV, quantize_kv_rows
+        from nano_qwen3tts_tpu.ops.paged_attention_pallas import (
+            paged_decode_attention_extend_int8,
+            paged_decode_attention_extend_int8_xla,
+        )
+
+        B, Hq, Hkv, d, bs, NB, L = 2, 8, 2, 64, 16, 4, 2
+        S = 32 * bs
+        q = rng.standard_normal((B, Hq, d)).astype(np.float32)
+        kn = rng.standard_normal((B, Hkv, d)).astype(np.float32)
+        vn = rng.standard_normal((B, Hkv, d)).astype(np.float32)
+        kc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
+        vc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
+        kq, ks = quantize_kv_rows(jnp.asarray(kc))
+        vq, vs = quantize_kv_rows(jnp.asarray(vc))
+        kqkv, vqkv = QuantizedKV(kq, ks), QuantizedKV(vq, vs)
+        tables = np.array([[5, 9, 2, 0], [7, 1, 0, 0]], np.int32)
+        lens = np.array([40, 17], np.int32)
+        layer = jnp.asarray(0, jnp.int32)
+        args = (jnp.asarray(q), jnp.asarray(kn), jnp.asarray(vn), kqkv, vqkv,
+                layer, jnp.asarray(tables), jnp.asarray(lens), bs, d**-0.5)
+        want = np.asarray(paged_decode_attention_extend_int8_xla(*args))
+        got = np.asarray(
+            paged_decode_attention_extend_int8(*args, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+    def test_engine_end_to_end_int8_kv(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+        from nano_qwen3tts_tpu.engine.engine import TTSEngine
+        from nano_qwen3tts_tpu.models.weights import (
+            init_predictor_params,
+            init_talker_params,
+        )
+
+        cfg = preset_config("tiny")
+        tc = cfg.talker_config
+        tp = init_talker_params(tc, jax.random.PRNGKey(0), dtype=jnp.float32)
+        pp = init_predictor_params(
+            tc.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.float32
+        )
+        ecfg = EngineConfig(
+            max_model_len=64, kvcache_block_size=16, max_num_batched_tokens=1024,
+            max_active_streams=4, decode_buckets=(1, 2), prefill_buckets=(32, 64),
+            kv_cache_dtype="int8", frames_per_step=2,
+        )
+        eng = TTSEngine(ecfg, cfg, tp, pp,
+                        tts_pad_embed=np.zeros(tc.hidden_size, np.float32),
+                        num_kvcache_blocks=32)
+        prompt = (rng.standard_normal((10, tc.hidden_size)) * 0.3).astype(np.float32)
+        frames = list(eng.generate(prompt, None, max_frames=5))
+        assert 1 <= len(frames) <= 5
+        assert all(len(f) == 16 for f in frames)
