@@ -313,7 +313,17 @@ class TTSServer:
                 pass
 
     async def _route(self, method, path, body, writer):
-        if method == "GET" and path == "/health":
+        if method == "GET" and path in ("/", "/ui"):
+            # voice-design web UI (reference examples/gradio_voice_design.py)
+            from nano_qwen3tts_tpu.server.ui import render_page
+
+            page = render_page().encode()
+            writer.write(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(page) + page
+            )
+            await writer.drain()
+        elif method == "GET" and path == "/health":
             stats = dict(getattr(self.iface.engine, "stats", {}))
             await _respond_json(writer, 200, {"status": "ok", "engine": stats})
         elif method == "GET" and path == "/voices":

@@ -124,6 +124,41 @@ def test_voice_design_route(iface):
     assert len(wav) >= 24000 * 0.05
 
 
+def test_voice_design_ui_page(iface):
+    """GET /ui serves the voice-design web app (parity:
+    reference examples/gradio_voice_design.py)."""
+
+    async def go(port):
+        def req(path):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.request("GET", path)
+            r = c.getresponse()
+            return r.status, r.getheader("Content-Type"), r.read().decode()
+
+        return await asyncio.to_thread(req, "/ui"), await asyncio.to_thread(req, "/")
+
+    (s1, ctype, html), (s2, _, html_root) = run_with_server(iface, go)
+    assert s1 == 200 and s2 == 200
+    assert ctype.startswith("text/html")
+    assert html == html_root
+    # the app's core surface: inputs, language choices, examples, fetch target
+    for needle in (
+        "Voice Design", "id=\"text\"", "id=\"instruct\"", "id=\"language\"",
+        "/v1/audio/speech", "deep and authoritative voice", "English",
+    ):
+        assert needle in html, needle
+
+
+def test_ui_page_renders_standalone():
+    """render_page needs no server state and embeds every reference example."""
+    from nano_qwen3tts_tpu.server.ui import EXAMPLES, LANGUAGES, render_page
+
+    html = render_page()
+    assert len(LANGUAGES) == 11 and "Auto" in LANGUAGES
+    for text, instruct, lang in EXAMPLES:
+        assert text in html and instruct in html
+
+
 def test_404(iface):
     async def go(port):
         def req():
