@@ -67,6 +67,10 @@ class EngineConfig:
     prefill_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024)
     # Weight quantization: None | "int8"
     quantization: Optional[str] = None
+    # Horizontally fuse q/k/v and gate/up into single matmuls at load
+    # (the reference's QKVParallelLinear / MergedColumnParallelLinear,
+    # layers/linear.py:76-128, realized as a weight transform).
+    fuse_matmuls: bool = True
     # KV cache dtype: "bf16" | "int8"
     kv_cache_dtype: str = "bf16"
     # Paged decode attention implementation: "auto" (pallas on TPU, xla
@@ -106,8 +110,12 @@ class EngineConfig:
         assert self.max_num_batched_tokens >= self.max_model_len
         assert self.max_model_len % self.kvcache_block_size == 0
         if self.quantization is not None:
-            assert self.quantization in ("int8",)
-        assert self.kv_cache_dtype in ("bf16", "int8")
+            assert self.quantization in ("int8",), (
+                f"unsupported quantization {self.quantization!r} (use 'int8' or None)"
+            )
+        assert self.kv_cache_dtype in ("bf16", "int8"), (
+            f"unsupported kv_cache_dtype {self.kv_cache_dtype!r} (use 'bf16' or 'int8')"
+        )
         assert self.attention_impl in ("auto", "xla", "pallas")
         assert 1 <= self.frames_per_step <= 16
 

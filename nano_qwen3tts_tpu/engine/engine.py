@@ -49,6 +49,16 @@ class TTSEngine:
     ):
         self.cfg = engine_config
         self.mcfg = model_config
+        if engine_config.fuse_matmuls:
+            from nano_qwen3tts_tpu.models.transformer import fuse_layer_stack
+
+            talker_params = dict(
+                talker_params, layers=fuse_layer_stack(talker_params["layers"])
+            )
+            predictor_params = dict(
+                predictor_params,
+                layers=fuse_layer_stack(predictor_params["layers"]),
+            )
         if engine_config.quantization == "int8":
             from nano_qwen3tts_tpu.ops.quant import (
                 quantize_predictor_params,

@@ -105,8 +105,12 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
 
 def swiglu_mlp(lp: dict, x: jax.Array) -> jax.Array:
     """SwiGLU MLP (qwen3_tts_share.py:116-135)."""
-    gate = linear(x, lp["gate_w"])
-    up = linear(x, lp["up_w"])
+    if "gateup_w" in lp:
+        gateup = linear(x, lp["gateup_w"])
+        gate, up = jnp.split(gateup, 2, axis=-1)
+    else:
+        gate = linear(x, lp["gate_w"])
+        up = linear(x, lp["up_w"])
     return linear(jax.nn.silu(gate) * up, lp["down_w"])
 
 
@@ -136,11 +140,39 @@ def apply_rope(
     )
 
 
+def fuse_layer_stack(layers: dict) -> dict:
+    """Horizontally fuse q/k/v -> qkv_w and gate/up -> gateup_w (one matmul
+    each). This is the load-time realization of the reference's
+    QKVParallelLinear / MergedColumnParallelLinear (layers/linear.py:76-128),
+    which fuse the same projections at weight-load; here the fusion also
+    halves kernel dispatches in the latency-bound decode step. Call BEFORE
+    quantization (per-output-channel int8 scales survive concatenation)."""
+    out = dict(layers)
+    out["qkv_w"] = jnp.concatenate(
+        [out.pop("q_w"), out.pop("k_w"), out.pop("v_w")], axis=-1
+    )
+    if "q_b" in out:
+        out["qkv_b"] = jnp.concatenate(
+            [out.pop("q_b"), out.pop("k_b"), out.pop("v_b")], axis=-1
+        )
+    out["gateup_w"] = jnp.concatenate(
+        [out.pop("gate_w"), out.pop("up_w")], axis=-1
+    )
+    return out
+
+
 def project_qkv(lp: dict, x: jax.Array, spec: AttnSpec):
     """x [..., D] -> q [..., Hq, d], k/v [..., Hkv, d] with QK-norm or bias."""
-    q = linear(x, lp["q_w"], lp.get("q_b"))
-    k = linear(x, lp["k_w"], lp.get("k_b"))
-    v = linear(x, lp["v_w"], lp.get("v_b"))
+    if "qkv_w" in lp:
+        qkv = linear(x, lp["qkv_w"], lp.get("qkv_b"))
+        nq, nkv = spec.num_heads * spec.head_dim, spec.num_kv_heads * spec.head_dim
+        q = qkv[..., :nq]
+        k = qkv[..., nq : nq + nkv]
+        v = qkv[..., nq + nkv :]
+    else:
+        q = linear(x, lp["q_w"], lp.get("q_b"))
+        k = linear(x, lp["k_w"], lp.get("k_b"))
+        v = linear(x, lp["v_w"], lp.get("v_b"))
     q = q.reshape(*x.shape[:-1], spec.num_heads, spec.head_dim)
     k = k.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
     v = v.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)

@@ -90,6 +90,8 @@ def quantized_linear(x: jax.Array, wq: QuantizedWeight) -> jax.Array:
 
 QUANTIZABLE_LAYER_KEYS = (
     "q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w",
+    # fused variants (models/transformer.fuse_layer_stack)
+    "qkv_w", "gateup_w",
 )
 
 

@@ -42,6 +42,13 @@ def layer_stack_shardings(mesh: Mesh, num_kv_heads: int) -> dict:
         "v_b": _ns(mesh, None, kv),
         "q_norm": _ns(mesh),
         "k_norm": _ns(mesh),
+        # fused variants (models/transformer.fuse_layer_stack): out-dim
+        # sharding splits head boundaries only when the KV heads divide the
+        # model axis; otherwise replicate the fused QKV (the talker's 2 KV
+        # heads — unfused trees shard Q independently in that regime).
+        "qkv_w": _ns(mesh, None, None, kv),
+        "qkv_b": _ns(mesh, None, kv),
+        "gateup_w": _ns(mesh, None, None, "model"),
     }
     return d
 

@@ -285,3 +285,45 @@ def test_unrolled_matches_scanned_decode(talker_params, rng):
     l2, h2, _, _ = T.talker_decode(talker_params, spec_u, emb, *args, kc, vc, bs)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_layer_stack_matches_unfused(talker_params, pred_params, rng):
+    """fuse_layer_stack (qkv_w / gateup_w single matmuls) is numerically
+    identical to the separate projections, bf16/f32, prefill + decode,
+    with and without int8 quantization."""
+    from nano_qwen3tts_tpu.models.transformer import fuse_layer_stack
+    from nano_qwen3tts_tpu.ops.quant import quantize_layer_stack
+
+    spec = T.talker_spec(TCFG)
+    bs, L = 4, 7
+    emb = rng.standard_normal((1, 8, TCFG.hidden_size)).astype(np.float32) * 0.5
+    positions = np.broadcast_to(np.arange(8, dtype=np.int32), (1, 8))
+    slots = np.arange(8, dtype=np.int32)
+
+    def run(params):
+        kc, vc = make_kv_cache(
+            TCFG.num_hidden_layers, 8, bs, TCFG.num_key_value_heads,
+            TCFG.actual_head_dim, jnp.float32,
+        )
+        return T.talker_prefill(
+            params, spec, jnp.asarray(emb), jnp.asarray(positions),
+            jnp.asarray([L], np.int32), jnp.asarray(slots), kc, vc,
+        )[:2]
+
+    fused = dict(talker_params, layers=fuse_layer_stack(talker_params["layers"]))
+    assert "q_w" not in fused["layers"] and "qkv_w" in fused["layers"]
+    for a, b in zip(run(talker_params), run(fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    # int8: quantize(fused) == fuse-then-quantize column-for-column, so the
+    # quantized fused path must match the quantized unfused path exactly
+    q_unfused = dict(
+        talker_params, layers=quantize_layer_stack(talker_params["layers"])
+    )
+    q_fused = dict(fused, layers=quantize_layer_stack(fused["layers"]))
+    for a, b in zip(run(q_unfused), run(q_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    # predictor stack fuses too (has its own layer geometry)
+    pl = fuse_layer_stack(pred_params["layers"])
+    assert "gateup_w" in pl and "gate_w" not in pl
