@@ -76,6 +76,10 @@ class EngineConfig:
     # Paged decode attention implementation: "auto" (pallas on TPU, xla
     # elsewhere) | "xla" | "pallas"
     attention_impl: str = "auto"
+    # Predictor frame burst implementation: "auto" (Pallas VMEM-resident
+    # burst kernel on TPU when the weight layout supports it, else the XLA
+    # scan) | "xla" | "pallas"
+    predictor_impl: str = "auto"
     # Codec frames produced per decode dispatch (lax.scan over the fused
     # step). 4 matches the server's PCM chunk policy; amortizes per-frame
     # host work and the device->host token fetch.
@@ -117,6 +121,7 @@ class EngineConfig:
             f"unsupported kv_cache_dtype {self.kv_cache_dtype!r} (use 'bf16' or 'int8')"
         )
         assert self.attention_impl in ("auto", "xla", "pallas")
+        assert self.predictor_impl in ("auto", "xla", "pallas")
         assert 1 <= self.frames_per_step <= 16
 
     @property

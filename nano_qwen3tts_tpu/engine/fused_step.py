@@ -17,7 +17,19 @@ from nano_qwen3tts_tpu.models.transformer import AttnSpec
 from nano_qwen3tts_tpu.ops.sampling_ops import sample_top_k
 
 
-def make_frame_tail(pspec: AttnSpec, trail_len: int, dtype):
+def make_frame_tail(
+    pspec: AttnSpec, trail_len: int, dtype, predictor_impl: str = "xla"
+):
+    """predictor_impl="pallas" routes the 16-step predictor burst through
+    the VMEM-resident Pallas kernel (ops/predictor_burst_pallas.py) — ~1.7x
+    faster on v5e and sampling-equivalent for the same key."""
+    if predictor_impl == "pallas":
+        from nano_qwen3tts_tpu.ops.predictor_burst_pallas import (
+            predictor_frame_burst as _predictor_frame,
+        )
+    else:
+        _predictor_frame = predictor_frame
+
     def frame_tail(
         tparams, pparams, hidden, logits, trail_pool, embed_pool,
         pool_idx, step_idx, temps_t, temps_p, key,
@@ -25,7 +37,7 @@ def make_frame_tail(pspec: AttnSpec, trail_len: int, dtype):
         k1, k2 = jax.random.split(key)
         cb0 = sample_top_k(logits, temps_t, k1)  # [B]
         cb0_emb = tparams["codec_embedding"][cb0]  # [B, D]
-        toks, pred_sum = predictor_frame(
+        toks, pred_sum = _predictor_frame(
             pparams, pspec, hidden, cb0_emb, temps_p, k2
         )
         sum16 = cb0_emb.astype(jnp.float32) + pred_sum.astype(jnp.float32)
@@ -40,10 +52,10 @@ def make_frame_tail(pspec: AttnSpec, trail_len: int, dtype):
 
 def make_decode_step(
     tspec: AttnSpec, pspec: AttnSpec, block_size: int, trail_len: int, dtype,
-    attn_impl: str = "xla",
+    attn_impl: str = "xla", predictor_impl: str = "xla",
 ):
     """One decode frame: talker decode (paged) -> cb0 -> predictor -> pools."""
-    frame_tail = make_frame_tail(pspec, trail_len, dtype)
+    frame_tail = make_frame_tail(pspec, trail_len, dtype, predictor_impl)
 
     def decode_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
@@ -66,7 +78,7 @@ def make_decode_step(
 
 def make_prefill_step(
     tspec: AttnSpec, pspec: AttnSpec, trail_len: int, dtype,
-    block_size: int = 128,
+    block_size: int = 128, predictor_impl: str = "xla",
 ):
     """Prefill + first frame: talker prefill -> cb0 -> predictor -> pools.
 
@@ -74,7 +86,7 @@ def make_prefill_step(
     metadata array (pool_idx, length, step_idx, block_table per row) — a
     single metadata transfer per prefill dispatch.
     """
-    frame_tail = make_frame_tail(pspec, trail_len, dtype)
+    frame_tail = make_frame_tail(pspec, trail_len, dtype, predictor_impl)
 
     def prefill_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
@@ -119,6 +131,7 @@ def make_decode_multi_step(
     dtype,
     n_frames: int,
     attn_impl: str = "xla",
+    predictor_impl: str = "xla",
 ):
     """N decode frames in one dispatch: ``lax.scan`` over the fused frame
     step, with KV slots/positions advanced on device.
@@ -133,7 +146,7 @@ def make_decode_multi_step(
     Caller must pre-allocate block tables covering ``kv_len0 + n_frames``
     entries per lane.
     """
-    frame_tail = make_frame_tail(pspec, trail_len, dtype)
+    frame_tail = make_frame_tail(pspec, trail_len, dtype, predictor_impl)
 
     def multi_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,

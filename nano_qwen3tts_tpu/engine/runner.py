@@ -101,6 +101,17 @@ class Runner:
         if impl == "auto":
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         self.attn_impl = impl
+        pimpl = engine_config.predictor_impl
+        if pimpl == "auto":
+            from nano_qwen3tts_tpu.ops.predictor_burst_pallas import supports_burst
+
+            pimpl = (
+                "pallas"
+                if jax.default_backend() not in ("cpu",)
+                and supports_burst(predictor_params, self.pspec)
+                else "xla"
+            )
+        self.predictor_impl = pimpl
         self.num_blocks = num_kvcache_blocks or self._auto_num_blocks()
         if engine_config.kv_cache_dtype == "int8":
             from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache_int8
@@ -223,7 +234,7 @@ class Runner:
 
         fn = make_decode_step(
             self.tspec, self.pspec, self.block_size, self.Lt, self.dtype,
-            attn_impl=self.attn_impl,
+            attn_impl=self.attn_impl, predictor_impl=self.predictor_impl,
         )
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
@@ -231,7 +242,8 @@ class Runner:
         from nano_qwen3tts_tpu.engine.fused_step import make_prefill_step
 
         fn = make_prefill_step(
-            self.tspec, self.pspec, self.Lt, self.dtype, self.block_size
+            self.tspec, self.pspec, self.Lt, self.dtype, self.block_size,
+            predictor_impl=self.predictor_impl,
         )
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
@@ -248,6 +260,7 @@ class Runner:
             fn = make_decode_multi_step(
                 self.tspec, self.pspec, self.block_size, self.Lt, self.dtype,
                 n_frames, attn_impl=self.attn_impl,
+                predictor_impl=self.predictor_impl,
             )
             self._decode_multi_fns[key] = jax.jit(
                 fn, donate_argnums=(2, 3, 4, 6, 8)

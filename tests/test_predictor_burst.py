@@ -1,0 +1,164 @@
+"""Predictor burst Pallas kernel vs the XLA scan path.
+
+The kernel (ops/predictor_burst_pallas.py) reimplements the whole 16-step
+predictor frame with different (but valid) accumulation orders, so logits
+agree with the XLA path only to bf16 rounding. With random test weights the
+top-k logits are dense, so near-ties flip occasionally at any temperature —
+exact token equality is the wrong assertion. Instead:
+
+* most tokens must match bit-for-bit (the Gumbel noise is shared, so any
+  non-tie step matches exactly);
+* every pallas-sampled token must be argmax-consistent under TEACHER-FORCED
+  XLA logits: its logit within a couple of bf16 ulps of the step max
+  (temperature ~0 -> categorical == argmax over the top-k mask);
+* the returned emb_sum must equal the table-sum recomputed from the tokens.
+
+Runs in interpret mode on the CPU mesh; the real-chip compile is exercised
+by bench.py and the engine itself (predictor_impl="pallas").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nano_qwen3tts_tpu.config import preset_config
+from nano_qwen3tts_tpu.models.predictor import (
+    KV_WINDOW,
+    NUM_STEPS,
+    predictor_frame,
+    predictor_spec,
+)
+from nano_qwen3tts_tpu.models.transformer import (
+    fuse_layer_stack,
+    linear,
+    stack_decode_dense_cache,
+    stack_prefill_dense_cache,
+)
+from nano_qwen3tts_tpu.ops.predictor_burst_pallas import (
+    predictor_frame_burst,
+    supports_burst,
+)
+from nano_qwen3tts_tpu.ops.quant import quantize_predictor_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = preset_config("1.7b").talker_config.code_predictor_config
+    # shrink for CPU interpret speed; keep the real head_dim/GQA structure
+    cfg.num_hidden_layers = 2
+    cfg.hidden_size = 256
+    cfg.talker_hidden_size = 256
+    cfg.intermediate_size = 512
+    cfg.num_attention_heads = 2
+    cfg.num_key_value_heads = 1
+    cfg.head_dim = 128
+    cfg.vocab_size = 256
+    spec = predictor_spec(cfg)
+    pp = init = None
+    from nano_qwen3tts_tpu.models.weights import init_predictor_params
+
+    pp = init_predictor_params(cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    pp = dict(pp, layers=fuse_layer_stack(pp["layers"]))
+    pp = quantize_predictor_params(pp, "w8a8")
+    assert supports_burst(pp, spec)
+    return cfg, spec, pp
+
+
+def xla_logits_teacher_forced(cfg, spec, pp, hidden, cb0, tokens):
+    """Step the XLA model feeding `tokens`; return per-step logits [15, B, V]."""
+    B = hidden.shape[0]
+    dtype = pp["norm"].dtype
+    x = jnp.stack([hidden, cb0], axis=1).astype(dtype)
+    pos = jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32)[None], (B, 2))
+    kc = jnp.zeros(
+        (cfg.num_hidden_layers, B, KV_WINDOW, spec.num_kv_heads, spec.head_dim),
+        dtype,
+    )
+    vc = jnp.zeros_like(kc)
+    h, kc, vc = stack_prefill_dense_cache(
+        pp["layers"], pp["norm"], x, pos, kc, vc, spec
+    )
+    out = [np.asarray(linear(h[:, -1], pp["lm_heads"].index(0)), np.float32)]
+    for i in range(1, NUM_STEPS):
+        emb = pp["codec_embeddings"][i - 1][tokens[:, i - 1]]
+        h, kc, vc = stack_decode_dense_cache(
+            pp["layers"], pp["norm"], emb.astype(dtype), i + 1, kc, vc, spec
+        )
+        out.append(np.asarray(linear(h, pp["lm_heads"].index(i)), np.float32))
+    return np.stack(out)
+
+
+def assert_sampling_consistent(cfg, spec, pp, hidden, cb0, toks_p, temps, key):
+    """Teacher-force the XLA model with the pallas tokens and assert every
+    pallas pick maximizes (masked_logits/T + gumbel) within ~2 bf16 ulps —
+    i.e. the kernel sampled what the XLA model would have sampled given the
+    same Gumbel noise, modulo rounding of near-ties."""
+    B = hidden.shape[0]
+    logits = xla_logits_teacher_forced(cfg, spec, pp, hidden, cb0, toks_p)
+    temps_np = np.asarray(temps, np.float32)
+    subs = []
+    k = key
+    for _ in range(NUM_STEPS):
+        k, sub = jax.random.split(k)
+        subs.append(sub)
+    for j in range(NUM_STEPS):
+        lg = logits[j] / temps_np[:, None]  # [B, V]
+        kth = np.sort(lg, axis=-1)[:, -50:-49]
+        g = np.asarray(
+            jax.random.gumbel(subs[j], lg.shape, jnp.float32), np.float32
+        )
+        for b in range(B):
+            # ~3 bf16 ulps of the raw logit magnitude, in temperature units
+            raw_top = np.abs(logits[j, b]).max()
+            tol = (raw_top * 2.0 ** -6 + 1e-6) / temps_np[b]
+            # the pick must be in the top-k mask up to boundary rounding...
+            chosen_lg = lg[b, toks_p[b, j]]
+            assert chosen_lg >= kth[b, 0] - tol, (j, b, chosen_lg, kth[b, 0])
+            # ...and must beat every element that is CERTAINLY in the
+            # kernel's mask too (logit >= kth + tol), up to rounding
+            strict = np.where(lg[b] >= kth[b, 0] + tol, lg[b] + g[b], -np.inf)
+            chosen = chosen_lg + g[b, toks_p[b, j]]
+            assert chosen >= strict.max() - tol, (
+                j, b, chosen, strict.max(), tol,
+            )
+
+
+@pytest.mark.parametrize("B", [1, 4, 8])
+@pytest.mark.parametrize("temp", [1e-6, 0.9])
+def test_burst_sampling_consistent(setup, B, temp):
+    cfg, spec, pp = setup
+    rng = np.random.default_rng(B)
+    hidden = jnp.asarray(
+        rng.standard_normal((B, cfg.hidden_size)) * 0.5, jnp.bfloat16
+    )
+    cb0 = jnp.asarray(
+        rng.standard_normal((B, cfg.hidden_size)) * 0.5, jnp.bfloat16
+    )
+    temps = jnp.full((B,), temp, jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    toks_ref, _ = predictor_frame(pp, spec, hidden, cb0, temps, key)
+    toks_p, sum_p = predictor_frame_burst(
+        pp, spec, hidden, cb0, temps, key, interpret=True
+    )
+    toks_ref, toks_p = np.asarray(toks_ref), np.asarray(toks_p)
+
+    # shared Gumbel noise -> lanes match bit-for-bit until a one-ulp tie
+    # flips (after which trajectories legitimately diverge); every lane must
+    # match from the start
+    prefix = (np.cumprod(toks_ref == toks_p, axis=1)).sum(axis=1)
+    assert prefix.min() >= 1, f"lane diverged at step 0: {prefix}"
+
+    assert_sampling_consistent(
+        cfg, spec, pp, hidden, cb0, jnp.asarray(toks_p), temps, key
+    )
+
+    # emb_sum == sum over codebooks 1..15 of table[i-1][tok_i]
+    tables = np.asarray(pp["codec_embeddings"], np.float32)
+    want = np.zeros((B, cfg.hidden_size), np.float32)
+    for i in range(NUM_STEPS):
+        want += tables[i][toks_p[:, i]]
+    np.testing.assert_allclose(
+        np.asarray(sum_p, np.float32), want, rtol=3e-2, atol=3e-2
+    )
