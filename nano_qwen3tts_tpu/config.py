@@ -89,6 +89,13 @@ class EngineConfig:
     # discovered one step late; the extra in-flight frames for a finished
     # lane are discarded (its KV writes target its own soon-freed blocks).
     pipeline_decode: bool = True
+    # Max in-flight decode dispatches (>=1). Depth d keeps d dispatches
+    # queued on device before the host blocks on the oldest, hiding up to
+    # d * dispatch_time of host<->device round-trip latency. EOS discovery
+    # lags by d dispatches (d * frames_per_step wasted frames per finished
+    # lane, into its own soon-freed blocks) and streamed frames arrive in
+    # bursts one dispatch later per depth — keep small (1-3) for serving.
+    pipeline_depth: int = 1
     # Statically unroll transformer layer loops in the decode path: halves
     # weight HBM traffic (lax.scan's per-layer weight slices copy) at the
     # price of longer compiles. Recommended for serving.
@@ -123,6 +130,7 @@ class EngineConfig:
         assert self.attention_impl in ("auto", "xla", "pallas")
         assert self.predictor_impl in ("auto", "xla", "pallas")
         assert 1 <= self.frames_per_step <= 16
+        assert 1 <= self.pipeline_depth <= 8
 
     @property
     def max_blocks_per_seq(self) -> int:

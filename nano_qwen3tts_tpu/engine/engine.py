@@ -22,6 +22,7 @@ import asyncio
 import logging
 import os
 import uuid
+from collections import deque
 from typing import AsyncGenerator, Optional
 
 import numpy as np
@@ -81,7 +82,9 @@ class TTSEngine:
         if tts_pad_embed is not None:
             self.runner.set_tts_pad(np.asarray(tts_pad_embed))
         # async plumbing
-        self._pending = None  # in-flight pipelined decode (seqs, bases, dev frames, n)
+        # in-flight pipelined decode dispatches, oldest first; each entry is
+        # (seqs, bases, dev frames, n). Up to cfg.pipeline_depth entries.
+        self._pending: deque = deque()
         # observability (reference logs wall-clock deltas through the hot
         # path — interface.py:1260-1299; we keep cheap counters + EMAs)
         self.stats = {
@@ -142,7 +145,7 @@ class TTSEngine:
         self.scheduler.clear_request(request_id)
 
     def has_work(self) -> bool:
-        return not self.scheduler.is_finished() or self._pending is not None
+        return not self.scheduler.is_finished() or bool(self._pending)
 
     # ------------------------------------------------------------------
     # synchronous stepping (offline / bench / tests)
@@ -345,12 +348,19 @@ class TTSEngine:
             seq.kv_len += n
             seq.frames_emitted += n
             seq.decode_input_embeds = DEVICE_RESIDENT
-        prev, self._pending = self._pending, (seqs, bases, frames_dev, n)
-        return self._process_pending(prev)
+        self._pending.append((seqs, bases, frames_dev, n))
+        # keep up to pipeline_depth dispatches in flight; block on (and
+        # emit) the oldest beyond that
+        out = []
+        while len(self._pending) > self.cfg.pipeline_depth:
+            out += self._process_pending(self._pending.popleft())
+        return out
 
     def _flush_pending(self):
-        prev, self._pending = self._pending, None
-        return self._process_pending(prev)
+        out = []
+        while self._pending:
+            out += self._process_pending(self._pending.popleft())
+        return out
 
     def _process_pending(self, pending):
         if pending is None:
@@ -421,10 +431,10 @@ class TTSEngine:
                     yield frame
                 if finished:
                     alive = False
-        # Discard a dangling speculative dispatch whose lanes all finished
-        # (pipelined mode dispatches one step ahead).
-        if self._pending is not None and all(
-            s.is_finished for s in self._pending[0]
+        # Discard dangling speculative dispatches whose lanes all finished
+        # (pipelined mode dispatches up to pipeline_depth steps ahead).
+        if self._pending and all(
+            s.is_finished for p in self._pending for s in p[0]
         ):
             self._flush_pending()
 

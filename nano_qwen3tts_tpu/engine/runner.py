@@ -403,6 +403,14 @@ class Runner:
         )
         self._dev_temps = temps_dev
         self._meta_sig = sig
+        # Start the device->host transfer of the (tiny) token frames now:
+        # a cold np.asarray at fetch time pays a full host<->device round
+        # trip (~27 ms through a remote relay); with the copy already in
+        # flight behind one pipelined dispatch it is sub-millisecond.
+        try:
+            frames.copy_to_host_async()
+        except Exception:
+            pass  # platforms without async transfer: fetch stays sync
         return frames
 
     # ------------------------------------------------------------------

@@ -83,6 +83,21 @@ class TestCodec:
         wavs2, _ = codec.decode(codes)
         np.testing.assert_array_equal(wavs[0], wavs2[0])
 
+    def test_mm_impl_matches_conv_impl(self, codec, rng):
+        """The MXU matmul decode formulation is the same math as the
+        lax.conv reference path (codec.py conv1d/conv_transpose1d)."""
+        from nano_qwen3tts_tpu.audio.codec import codec_decode
+
+        codes = rng.integers(0, 64, size=(2, 16, 9)).astype(np.int32)
+        ref = np.asarray(
+            codec_decode(codec.params, codes, codec.cfg.upsample_rates, "conv")
+        )
+        mm = np.asarray(
+            codec_decode(codec.params, codes, codec.cfg.upsample_rates, "mm")
+        )
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(mm, ref, atol=2e-2 * scale)
+
     def test_decode_accepts_chunk_list(self, codec, rng):
         chunks = [list(rng.integers(0, 64, size=16)) for _ in range(5)]
         wavs, _ = codec.decode(chunks)

@@ -13,7 +13,7 @@ CFG = preset_config("tiny")
 TCFG = CFG.talker_config
 
 
-def make_engine(frames_per_step):
+def make_engine(frames_per_step, pipeline_depth=1):
     ecfg = EngineConfig(
         max_model_len=128,
         kvcache_block_size=16,
@@ -22,6 +22,7 @@ def make_engine(frames_per_step):
         decode_buckets=(1, 2, 4, 8),
         prefill_buckets=(16, 32, 64, 128),
         frames_per_step=frames_per_step,
+        pipeline_depth=pipeline_depth,
     )
     tp = init_talker_params(TCFG, jax.random.PRNGKey(0), dtype=jnp.float32)
     pp = init_predictor_params(
@@ -72,6 +73,40 @@ def test_multiframe_concurrent(rng):
     for rid in rids:
         assert 1 <= got[rid] <= 9
     assert eng.scheduler.block_manager.num_free_blocks == 63
+
+
+def test_pipeline_depth_equivalent_frames(rng):
+    """Depth-3 pipelining must emit exactly the frames depth-1 emits (the
+    PRNG stream advances per dispatch on device; pipelining only changes
+    when the host blocks, not what the device computes)."""
+    prompt = (rng.standard_normal((10, TCFG.hidden_size)) * 0.3).astype(np.float32)
+    trail = (rng.standard_normal((6, TCFG.hidden_size)) * 0.3).astype(np.float32)
+
+    def run(depth):
+        eng = make_engine(4, depth)
+        # pin the engine PRNG (base_key is random per Runner instance)
+        eng.runner.base_key = jax.random.PRNGKey(1234)
+        eng.runner._dev_key = jax.random.fold_in(eng.runner.base_key, 0x5EED)
+        return list(eng.generate(prompt, trail, max_frames=12, seed=5))
+
+    assert run(1) == run(3)
+
+
+def test_pipeline_depth_cleanup(rng):
+    """All blocks/pool slots freed after a deep-pipelined concurrent run."""
+    eng = make_engine(4, 3)
+    for i in range(3):
+        eng.add_request(
+            (rng.standard_normal((8, TCFG.hidden_size)) * 0.3).astype(np.float32),
+            None, request_id=f"r{i}", max_frames=9,
+        )
+    for _ in range(60):
+        eng.step()
+        if not eng.has_work():
+            break
+    assert not eng.has_work()
+    assert eng.scheduler.block_manager.num_free_blocks == 63
+    assert len(eng.runner._free_pool_slots) == 8
 
 
 def test_multiframe_near_model_len_falls_back(rng):
