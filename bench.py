@@ -58,9 +58,14 @@ def build_engine(smoke: bool):
     cfg = preset_config("tiny" if smoke else "1.7b")
     tc = cfg.talker_config
     dtype = jnp.float32 if smoke else jnp.bfloat16
+    # BENCH_ATTN=burst: whole-stack Pallas talker kernel (needs one cache
+    # block per lane -> block size == max_model_len); measured 2.6x the XLA
+    # talker stack at batch 8 on v5e.
+    attn = os.environ.get("BENCH_ATTN", "auto")
     ecfg = EngineConfig(
         max_model_len=1024,
-        kvcache_block_size=128,
+        kvcache_block_size=1024 if attn == "burst" else 128,
+        attention_impl=attn,
         max_active_streams=32,
         decode_buckets=(1, 2, 4, 8, 16, 32),
         prefill_buckets=(128, 256, 512, 1024),

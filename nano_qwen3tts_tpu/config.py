@@ -127,7 +127,7 @@ class EngineConfig:
         assert self.kv_cache_dtype in ("bf16", "int8"), (
             f"unsupported kv_cache_dtype {self.kv_cache_dtype!r} (use 'bf16' or 'int8')"
         )
-        assert self.attention_impl in ("auto", "xla", "pallas")
+        assert self.attention_impl in ("auto", "xla", "pallas", "burst")
         assert self.predictor_impl in ("auto", "xla", "pallas")
         assert 1 <= self.frames_per_step <= 16
         assert 1 <= self.pipeline_depth <= 8

@@ -100,6 +100,26 @@ class Runner:
         impl = engine_config.attention_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        if impl == "burst":
+            # whole-stack Pallas talker kernel: requires the padded-head
+            # weight layout (built once here), int8 KV, and one cache block
+            # per lane (kvcache_block_size == max_model_len)
+            from nano_qwen3tts_tpu.ops.talker_burst_pallas import (
+                make_burst_params,
+            )
+
+            bp = (
+                make_burst_params(talker_params, self.tspec)
+                if engine_config.kv_cache_dtype == "int8"
+                and engine_config.kvcache_block_size == engine_config.max_model_len
+                else None
+            )
+            if bp is not None:
+                self.tparams = talker_params = dict(
+                    talker_params, talker_burst=bp
+                )
+            else:
+                impl = "xla"
         self.attn_impl = impl
         pimpl = engine_config.predictor_impl
         if pimpl == "auto":

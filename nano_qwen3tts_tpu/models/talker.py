@@ -22,6 +22,7 @@ from nano_qwen3tts_tpu.models.transformer import (
     linear,
     stack_decode_paged,
     stack_prefill,
+    write_kv_rows_deferred,
 )
 
 
@@ -84,7 +85,35 @@ def talker_decode(
     block_size: int,
     attn_impl: str = "xla",
 ):
-    """Returns (logits [B, V], hidden [B, D], k_cache, v_cache)."""
+    """Returns (logits [B, V], hidden [B, D], k_cache, v_cache).
+
+    attn_impl="burst" routes the whole 20-layer stack through ONE Pallas
+    kernel (ops/talker_burst_pallas.py) — per-layer weights streamed into
+    VMEM, attend-with-extension in-kernel — when the layout supports it
+    (w8a8 fused weights, int8 KV, one cache block per lane); falls back to
+    the XLA stack otherwise.
+    """
+    if attn_impl == "burst":
+        from nano_qwen3tts_tpu.ops.talker_burst_pallas import (
+            supports_talker_burst,
+            talker_stack_burst,
+        )
+
+        B = embeds.shape[0]
+        if supports_talker_burst(
+            params, spec, k_cache, B, block_size,
+            block_tables.shape[1] * block_size,
+        ):
+            hidden, k_rows, v_rows = talker_stack_burst(
+                params, spec, embeds, positions, block_tables, kv_lens,
+                k_cache, v_cache, block_size,
+            )
+            k_cache, v_cache = write_kv_rows_deferred(
+                k_cache, v_cache, k_rows, v_rows, slots
+            )
+            logits = linear(hidden, params["codec_head_w"])
+            return logits, hidden, k_cache, v_cache
+        attn_impl = "xla"
     hidden, k_cache, v_cache = stack_decode_paged(
         params["layers"],
         params["norm"],

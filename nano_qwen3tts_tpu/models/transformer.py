@@ -231,6 +231,46 @@ def stack_prefill(
     return rms_norm(h, norm_w, spec.rms_norm_eps), k_cache, v_cache
 
 
+def write_kv_rows_deferred(k_cache, v_cache, k_rows, v_rows, slots):
+    """Scatter per-layer new KV rows ([L, B, Hkv, d]) into the paged cache
+    with per-lane dynamic-update-slices (the deferred-write tail of
+    stack_decode_paged, shared with the Pallas talker burst path)."""
+    from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV, quantize_kv_rows
+
+    B = k_rows.shape[1]
+    if isinstance(k_cache, QuantizedKV):
+        kq, ks = quantize_kv_rows(k_rows)  # [L,B,Hkv,d] -> int8 + [L,B]
+        vq, vs = quantize_kv_rows(v_rows)
+        for i in range(B):
+            k_cache = QuantizedKV(
+                jax.lax.dynamic_update_slice(
+                    k_cache.q, kq[:, i : i + 1], (0, slots[i], 0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    k_cache.s, ks[:, i : i + 1], (0, slots[i])
+                ),
+            )
+            v_cache = QuantizedKV(
+                jax.lax.dynamic_update_slice(
+                    v_cache.q, vq[:, i : i + 1], (0, slots[i], 0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    v_cache.s, vs[:, i : i + 1], (0, slots[i])
+                ),
+            )
+        return k_cache, v_cache
+    k_rows = k_rows.astype(k_cache.dtype)
+    v_rows = v_rows.astype(v_cache.dtype)
+    for i in range(B):
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_rows[:, i : i + 1], (0, slots[i], 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_rows[:, i : i + 1], (0, slots[i], 0, 0)
+        )
+    return k_cache, v_cache
+
+
 def stack_decode_paged(
     layers: dict,
     norm_w: jax.Array,
@@ -315,36 +355,9 @@ def stack_decode_paged(
             body, x, (layers, jnp.arange(L, dtype=jnp.int32))
         )
     # deferred KV writes: [L, B, Hkv, d] rows -> per-lane dynamic-update-slice
-    if int8_kv:
-        kq, ks = quantize_kv_rows(k_rows)  # [L,B,Hkv,d] -> int8 + [L,B]
-        vq, vs = quantize_kv_rows(v_rows)
-        for i in range(B):
-            k_cache = QuantizedKV(
-                jax.lax.dynamic_update_slice(
-                    k_cache.q, kq[:, i : i + 1], (0, slots[i], 0, 0)
-                ),
-                jax.lax.dynamic_update_slice(
-                    k_cache.s, ks[:, i : i + 1], (0, slots[i])
-                ),
-            )
-            v_cache = QuantizedKV(
-                jax.lax.dynamic_update_slice(
-                    v_cache.q, vq[:, i : i + 1], (0, slots[i], 0, 0)
-                ),
-                jax.lax.dynamic_update_slice(
-                    v_cache.s, vs[:, i : i + 1], (0, slots[i])
-                ),
-            )
-        return rms_norm(h, norm_w, spec.rms_norm_eps), k_cache, v_cache
-    k_rows = k_rows.astype(k_cache.dtype)
-    v_rows = v_rows.astype(v_cache.dtype)
-    for i in range(B):
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_rows[:, i : i + 1], (0, slots[i], 0, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_rows[:, i : i + 1], (0, slots[i], 0, 0)
-        )
+    k_cache, v_cache = write_kv_rows_deferred(
+        k_cache, v_cache, k_rows, v_rows, slots
+    )
     return rms_norm(h, norm_w, spec.rms_norm_eps), k_cache, v_cache
 
 

@@ -1,0 +1,126 @@
+"""Talker burst Pallas kernel vs the XLA attend-with-extension stack.
+
+The kernel (ops/talker_burst_pallas.py) runs the whole talker decode stack
+in one pallas_call with a padded-head weight layout; it reorders bf16/int8
+accumulations, so outputs agree with the XLA path only to rounding, which
+compounds through the (unnormalized random-weight) layer stack — hence the
+relative tolerance. Runs in interpret mode on CPU; the real-chip compile
+and speed (2.6x the XLA stack at batch 8 on v5e) are exercised by bench.py
+with BENCH_ATTN=burst.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nano_qwen3tts_tpu.config import TalkerConfig
+from nano_qwen3tts_tpu.models.talker import talker_spec
+from nano_qwen3tts_tpu.models.transformer import (
+    fuse_layer_stack,
+    stack_decode_paged,
+)
+from nano_qwen3tts_tpu.models.weights import host_random_init, init_talker_params
+from nano_qwen3tts_tpu.ops.kv_cache import (
+    QuantizedKV,
+    make_kv_cache_int8,
+    quantize_kv_rows,
+)
+from nano_qwen3tts_tpu.ops.quant import quantize_talker_params
+from nano_qwen3tts_tpu.ops.talker_burst_pallas import (
+    make_burst_params,
+    supports_talker_burst,
+    talker_stack_burst,
+)
+
+TC = TalkerConfig(
+    hidden_size=256, intermediate_size=512, num_hidden_layers=4,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+    vocab_size=128,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = talker_spec(TC)
+    with host_random_init():
+        params = init_talker_params(TC, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params.pop("text_embedding", None)
+    params.pop("text_projection", None)
+    params = dict(params, layers=fuse_layer_stack(params["layers"]))
+    params = quantize_talker_params(params, "w8a8")
+    bp = make_burst_params(params, spec)
+    assert bp is not None
+    params = dict(params, talker_burst=bp)
+    return spec, params
+
+
+def _seeded_cache(L, bs, tables, hist, rng):
+    B = len(tables)
+    kc, vc = make_kv_cache_int8(L, 2 + B, bs, 2, 64)
+    kq = np.asarray(kc.q).copy()
+    ks = np.asarray(kc.s).copy()
+    vq = np.asarray(vc.q).copy()
+    vs = np.asarray(vc.s).copy()
+    for b in range(B):
+        s0 = tables[b, 0] * bs
+        raw_k = rng.standard_normal((L, hist, 2, 64)).astype(np.float32) * 0.3
+        raw_v = rng.standard_normal((L, hist, 2, 64)).astype(np.float32) * 0.3
+        kr, krs = quantize_kv_rows(jnp.asarray(raw_k).reshape(L * hist, 2, 64))
+        vr, vrs = quantize_kv_rows(jnp.asarray(raw_v).reshape(L * hist, 2, 64))
+        kq[:, s0 : s0 + hist] = np.asarray(kr).reshape(L, hist, 2, 64)
+        ks[:, s0 : s0 + hist] = np.asarray(krs).reshape(L, hist)
+        vq[:, s0 : s0 + hist] = np.asarray(vr).reshape(L, hist, 2, 64)
+        vs[:, s0 : s0 + hist] = np.asarray(vrs).reshape(L, hist)
+    return (
+        QuantizedKV(jnp.asarray(kq), jnp.asarray(ks)),
+        QuantizedKV(jnp.asarray(vq), jnp.asarray(vs)),
+    )
+
+
+def test_burst_matches_xla_stack(setup, rng):
+    spec, params = setup
+    B, bs, hist = 4, 128, 50
+    L = TC.num_hidden_layers
+    tables = np.arange(1, B + 1, dtype=np.int32).reshape(B, 1)
+    kc, vc = _seeded_cache(L, bs, tables, hist, rng)
+    x = jnp.asarray(rng.standard_normal((B, TC.hidden_size)) * 0.3, jnp.bfloat16)
+    positions = jnp.full((B,), hist + 1, jnp.int32)
+    kv_lens = jnp.full((B,), hist + 1, jnp.int32)
+    slots = jnp.asarray(tables[:, 0] * bs + hist)
+    bt = jnp.asarray(tables)
+
+    assert supports_talker_burst(params, spec, kc, B, bs, bs)
+    hid_ref, kc2, vc2 = stack_decode_paged(
+        params["layers"], params["norm"], x, positions, slots, bt, kv_lens,
+        kc, vc, spec, bs, "xla",
+    )
+    hid, k_rows, v_rows = talker_stack_burst(
+        params, spec, x, positions, bt, kv_lens, kc, vc, bs, interpret=True,
+    )
+    a = np.asarray(hid_ref, np.float32)
+    b = np.asarray(hid, np.float32)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 5e-2
+
+    # new KV rows must match what the XLA path scattered into the cache
+    # (reference rows are int8-quantized round trips -> ~1% of scale)
+    kq_ref = np.asarray(kc2.q, np.float32)
+    ks_ref = np.asarray(kc2.s)
+    for i in range(B):
+        s = int(slots[i])
+        ref_row = kq_ref[:, s] * ks_ref[:, s][:, None, None]
+        got = np.asarray(k_rows, np.float32)[:, i]
+        scale = np.abs(ref_row).max() + 1e-9
+        assert np.abs(ref_row - got).max() / scale < 3e-2
+
+
+def test_burst_requires_one_block_per_lane(setup, rng):
+    spec, params = setup
+    kc, _ = make_kv_cache_int8(TC.num_hidden_layers, 8, 64, 2, 64)
+    # block_size (64) != max_model_len (128) -> unsupported
+    assert not supports_talker_burst(params, spec, kc, 4, 64, 128)
+    # bf16 cache -> unsupported
+    from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache
+
+    kbf, _ = make_kv_cache(TC.num_hidden_layers, 8, 64, 2, 64)
+    assert not supports_talker_burst(params, spec, kbf, 4, 64, 64)
