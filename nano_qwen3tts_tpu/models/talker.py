@@ -22,7 +22,6 @@ from nano_qwen3tts_tpu.models.transformer import (
     linear,
     stack_decode_paged,
     stack_prefill,
-    write_kv_rows_deferred,
 )
 
 
@@ -104,12 +103,11 @@ def talker_decode(
             params, spec, k_cache, B, block_size,
             block_tables.shape[1] * block_size,
         ):
-            hidden, k_rows, v_rows = talker_stack_burst(
+            # cache updated in place by the kernel (aliased value planes +
+            # one scale scatter) — no XLA-visible cache read or DUS copy
+            hidden, k_cache, v_cache = talker_stack_burst(
                 params, spec, embeds, positions, block_tables, kv_lens,
                 k_cache, v_cache, block_size,
-            )
-            k_cache, v_cache = write_kv_rows_deferred(
-                k_cache, v_cache, k_rows, v_rows, slots
             )
             logits = linear(hidden, params["codec_head_w"])
             return logits, hidden, k_cache, v_cache

@@ -13,17 +13,30 @@ over layers:
 * per-layer int8 weights are streamed blocks (index map follows the grid
   step) — Mosaic double-buffers the ~9 MB/layer behind compute, so the
   weight HBM traffic (the physical floor of decode) hides the math;
-* each lane's KV region is ONE cache block (requires
-  ``kvcache_block_size == max_model_len``, i.e. one contiguous block per
-  sequence — the block manager is unchanged, NB is just 1), streamed per
-  layer via scalar-prefetched block-table index maps;
+* the int8 KV **value** planes are passed ONCE as ``memory_space=ANY``
+  operands (they stay in HBM) and each lane's cache block is fetched with
+  in-kernel double-buffered ``make_async_copy`` DMAs, indexed by
+  scalar-prefetched block-table entries. Crucially the value planes are
+  also ``input_output_aliases``-aliased to outputs and the NEW K/V rows are
+  quantized and DMA-written back **inside the kernel** — the cache is never
+  an XLA-visible read or dynamic-update-slice, so the donated scan carry
+  stays fully in place (the previous streamed-operand design forced XLA to
+  materialize ~336 MB of cache copies per frame inside the multi-frame
+  decode scan);
+* in-kernel row writes go at 8-row-aligned windows (the HBM int8 layout is
+  sublane-tiled ``(8,128)``): the window's history rows are restored from
+  the already-fetched block bytes (bit-exact) and rows above the write
+  offset are never read back (the kv_len mask excludes them) — this is why
+  ``block_size`` must be a multiple of 8;
+* per-slot KV **scales** are small (4 B/slot vs 128 B/slot of values), so
+  they stay XLA-side: windows enter as streamed per-lane blocks and the new
+  rows' scales leave via a packed ``[L, B, 128]`` output that the caller
+  scatters with a normal in-place dynamic-update-slice;
 * attention is attend-with-extension, exactly like the XLA fallback
   (ops/paged_attention_pallas.paged_decode_attention_extend_int8_xla):
   the current token's K/V stay in registers, int8 window dequant is folded
   into the scores/probs as per-slot scales;
-* the residual stream lives in VMEM scratch across grid steps; the new
-  K/V rows are kernel outputs, written back to the paged cache by the
-  caller with the same deferred dynamic-update-slices as the XLA path.
+* the residual stream lives in VMEM scratch across grid steps.
 
 Head padding: the talker's head_dim is 64, but Mosaic only supports
 reshapes whose minor dim is a multiple of the 128-lane width — so the
@@ -53,6 +66,7 @@ from nano_qwen3tts_tpu.models.transformer import AttnSpec
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 DP = 128  # padded per-head lane width
+WROWS = 8  # write-window rows (HBM int8 sublane tile)
 
 
 def _int8_mm(x, wq_ref, ws_ref, out_dtype=jnp.bfloat16):
@@ -91,10 +105,10 @@ def _rms_norm_padded(x, w, eps, d_real):
 def _stack_kernel(
     # scalar prefetch
     tables_ref,  # [B] int32 (one block id per lane)
+    woff_ref,    # [B] int32 write offset within block == existing KV entries
     # inputs
     x_ref,            # [B, D] bf16
     pos_ref,          # [B, 1] int32 rope positions
-    nex_ref,          # [B, 1] int32 existing KV entries (kv_len - 1)
     qkv_q_ref, qkv_s_ref, o_q_ref, o_s_ref,
     gu_q_ref, gu_s_ref, dn_q_ref, dn_s_ref,
     ln1_ref, ln2_ref, qn_ref, kn_ref, fn_ref,
@@ -105,23 +119,43 @@ def _stack_kernel(
     *rest,
     spec: AttnSpec, num_layers: int, B: int, D: int, block_size: int,
 ):
-    # rest = B k-blocks, B k-scales, B v-blocks, B v-scales, then outputs
-    # (hid, k_rows, v_rows), then scratch (h)
-    kq_refs = rest[0 * B : 1 * B]          # each [1, 1, bs, nkv] int8
-    ks_refs = rest[1 * B : 2 * B]          # each [1, 1, bs, 1] f32
-    vq_refs = rest[2 * B : 3 * B]
-    vs_refs = rest[3 * B : 4 * B]
-    hid_ref, krows_ref, vrows_ref = rest[4 * B : 4 * B + 3]
-    h_scr = rest[4 * B + 3]
+    # rest = B k-scale blocks, B v-scale blocks, kq_hbm, vq_hbm (ANY),
+    # then outputs (hid, scl, kq_out, vq_out),
+    # then scratch (h, kbuf, vbuf, rowk, rowv, rsem, wsem)
+    ks_refs = rest[0 * B : 1 * B]          # each [1, 1, bs, 1] f32
+    vs_refs = rest[1 * B : 2 * B]
+    kq_hbm, vq_hbm = rest[2 * B : 2 * B + 2]
+    hid_ref, scl_ref, kq_out, vq_out = rest[2 * B + 2 : 2 * B + 6]
+    h_scr, kbuf, vbuf, rowk, rowv, rsem, wsem = rest[2 * B + 6 :]
 
     l = pl.program_id(0)
     Hq, Hkv, d = spec.num_heads, spec.num_kv_heads, spec.head_dim
     nqp, nkvp = Hq * DP, Hkv * DP
+    nkv = Hkv * d
     n_rep = Hq // Hkv
+
+    def _reads(ll, slot):
+        for b in range(B):
+            start = tables_ref[b] * block_size
+            yield pltpu.make_async_copy(
+                kq_hbm.at[ll, pl.ds(start, block_size), :],
+                kbuf.at[slot, b], rsem.at[slot, b, 0],
+            )
+            yield pltpu.make_async_copy(
+                vq_hbm.at[ll, pl.ds(start, block_size), :],
+                vbuf.at[slot, b], rsem.at[slot, b, 1],
+            )
 
     @pl.when(l == 0)
     def _init():
         h_scr[:] = x_ref[:]
+        for dma in _reads(0, 0):
+            dma.start()
+
+    @pl.when(l + 1 < num_layers)
+    def _prefetch():
+        for dma in _reads(l + 1, (l + 1) % 2):
+            dma.start()
 
     h = h_scr[:]
     xn = _rms_norm(h, ln1_ref[0], spec.rms_norm_eps)
@@ -150,39 +184,69 @@ def _stack_kernel(
     q = rope(q, Hq)
     k = rope(k, Hkv)
 
-    # new K/V rows for the cache: un-pad [B, Hkv*DP] -> [B, nkv]
-    kflat = k.reshape(B, nkvp)
-    krows_ref[0] = jax.lax.dot_general(
-        kflat, eunp_ref[:], (((1,), (0,)), ((), ())),
+    # new K/V rows for the cache: un-pad [B, Hkv*DP] -> [B, nkv], then
+    # quantize exactly like ops.kv_cache.quantize_kv_rows (per-row scale)
+    kflat = jax.lax.dot_general(
+        k.reshape(B, nkvp), eunp_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)
-    vrows_ref[0] = jax.lax.dot_general(
+    vflat = jax.lax.dot_general(
         vp, eunp_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.bfloat16)
 
-    # --- attend-with-extension, one lane at a time (each lane's KV block
-    # is its own streamed input; B is a small bucket constant)
+    def _quant(rows_bf16):
+        rf = rows_bf16.astype(jnp.float32)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(rf), axis=1, keepdims=True) / 127.0, 1e-8
+        )  # [B, 1]
+        qr = jnp.clip(jnp.round(rf / scale), -127, 127).astype(jnp.int8)
+        return qr, scale
+
+    kq_new, ks_new = _quant(kflat)
+    vq_new, vs_new = _quant(vflat)
+    scl_ref[0] = jnp.concatenate(
+        [ks_new, vs_new, jnp.zeros((B, DP - 2), jnp.float32)], axis=1
+    )
+
+    # wait for this layer's KV blocks (prefetched at the previous step)
+    for dma in _reads(l, l % 2):
+        dma.wait()
+
+    # stash the write windows: WROWS-aligned, history rows restored from the
+    # freshly fetched block (bit-exact), new row inserted at woff
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (WROWS, nkv), 0)
+    for b in range(B):
+        wstart = (woff_ref[b] // WROWS) * WROWS
+        roff = woff_ref[b] - wstart
+        kwin = kbuf[l % 2, b, pl.ds(wstart, WROWS), :]
+        vwin = vbuf[l % 2, b, pl.ds(wstart, WROWS), :]
+        rowk[b, l] = jnp.where(iota8 == roff, kq_new[b : b + 1, :], kwin)
+        rowv[b, l] = jnp.where(iota8 == roff, vq_new[b : b + 1, :], vwin)
+
+    # --- attend-with-extension, one lane at a time (B is a small bucket
+    # constant; per-lane blocks sit in this step's DMA buffer)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
     vpad3 = vp.reshape(B, Hkv, DP)
+    kpad3 = k  # [B, Hkv, DP] current-token K (padded layout)
     attn_rows = []
     for b in range(B):
         sk = ks_refs[b][0, 0]            # [bs, 1] f32 per-slot scales
         sv = vs_refs[b][0, 0]
         # pad-expand the int8 window once per lane: [bs, nkv] -> [bs, Hkv*DP]
         kw = jax.lax.dot_general(
-            (kq_refs[b][0, 0].astype(jnp.float32) * sk).astype(jnp.bfloat16),
+            (kbuf[l % 2, b].astype(jnp.float32) * sk).astype(jnp.bfloat16),
             epad_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16).reshape(block_size, Hkv, DP)
         vw = jax.lax.dot_general(
-            (vq_refs[b][0, 0].astype(jnp.float32) * sv).astype(jnp.bfloat16),
+            (vbuf[l % 2, b].astype(jnp.float32) * sv).astype(jnp.bfloat16),
             epad_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16).reshape(block_size, Hkv, DP)
         qb = q[b].astype(jnp.bfloat16)   # [Hq, DP]
-        kb = k[b].astype(jnp.bfloat16)   # [Hkv, DP] current-token K
-        mask = lane_iota < nex_ref[b, 0]  # [1, bs]
+        kb = kpad3[b].astype(jnp.bfloat16)  # [Hkv, DP] current-token K
+        mask = lane_iota < woff_ref[b]   # [1, bs]
         outs = []
         for g in range(Hkv):
             qg = qb[g * n_rep : (g + 1) * n_rep]               # [n_rep, DP]
@@ -228,8 +292,25 @@ def _stack_kernel(
     @pl.when(l == num_layers - 1)
     def _emit():
         hid_ref[:] = _rms_norm(h, fn_ref[:], spec.rms_norm_eps)
+        # write all layers' new KV rows into the aliased cache planes
+        def _writes():
+            for b in range(B):
+                ws = tables_ref[b] * block_size + (woff_ref[b] // WROWS) * WROWS
+                yield pltpu.make_async_copy(
+                    rowk.at[b], kq_out.at[:, pl.ds(ws, WROWS), :],
+                    wsem.at[b, 0],
+                )
+                yield pltpu.make_async_copy(
+                    rowv.at[b], vq_out.at[:, pl.ds(ws, WROWS), :],
+                    wsem.at[b, 1],
+                )
 
-    del _init, _emit
+        for dma in _writes():
+            dma.start()
+        for dma in _writes():
+            dma.wait()
+
+    del _init, _prefetch, _emit
 
 
 def _pad_cols_int8(wq, ws, H, d):
@@ -324,7 +405,8 @@ def supports_talker_burst(params: dict, spec: AttnSpec, k_cache, B: int,
         "talker_burst" in params
         and isinstance(k_cache, QuantizedKV)
         and block_size == max_model_len
-        and B <= 16  # 4*B streamed KV inputs; fall back for huge buckets
+        and block_size % WROWS == 0
+        and B <= 16  # per-lane DMA buffers; fall back for huge buckets
     )
 
 
@@ -340,40 +422,48 @@ def talker_stack_burst(
     block_size: int,
     interpret: bool = False,
 ):
-    """Whole talker decode stack in one kernel.
+    """Whole talker decode stack in one kernel, cache updated IN PLACE.
 
-    Returns (hidden [B, D] post-final-norm, k_rows [L, B, Hkv, d] bf16,
-    v_rows) — the caller scatters the rows into the cache exactly like
-    transformer.stack_decode_paged's deferred-write tail. ``params`` must
-    carry the ``"talker_burst"`` layout from make_burst_params.
+    Returns (hidden [B, D] post-final-norm, k_cache', v_cache') — the int8
+    value planes are aliased through the kernel (new rows DMA-written
+    in-kernel), the scale planes are updated with one XLA scatter. No
+    XLA-visible read or copy of the value planes ever happens, so the
+    donated multi-frame scan carry stays in place. ``params`` must carry
+    the ``"talker_burst"`` layout from make_burst_params.
     """
+    from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV
+
     lay = params["layers"]
     bp = params["talker_burst"]
     B, D = x.shape
     L = lay["input_layernorm"].shape[0]
     Hkv, d = spec.num_kv_heads, spec.head_dim
     nkv = Hkv * d
-    n_blocks = k_cache.q.shape[1] // block_size
+    S = k_cache.q.shape[1]
+    n_blocks = S // block_size
 
-    kq = k_cache.q.reshape(L, n_blocks, block_size, nkv)
-    ks = k_cache.s.reshape(L, n_blocks, block_size, 1)
-    vq = v_cache.q.reshape(L, n_blocks, block_size, nkv)
-    vs = v_cache.s.reshape(L, n_blocks, block_size, 1)
+    tables = block_tables[:, 0].astype(jnp.int32)
+    woff = jnp.clip(kv_lens - 1, 0, block_size - 1).astype(jnp.int32)
+
+    kq = k_cache.q.reshape(L, S, nkv)   # free bitcast: minor dims collapse
+    vq = v_cache.q.reshape(L, S, nkv)
+    ksb = k_cache.s.reshape(L, n_blocks, block_size, 1)
+    vsb = v_cache.s.reshape(L, n_blocks, block_size, 1)
 
     def _mid1(a, dtype=jnp.float32):
         return a.astype(dtype).reshape(a.shape[0], 1, a.shape[1])
 
     # NOTE: under PrefetchScalarGridSpec every index map receives the scalar
-    # refs after the grid indices — hence the (l, tables) signatures.
-    wspec = lambda shape: pl.BlockSpec(shape, lambda l, tables: (l, 0, 0))  # noqa: E731
+    # refs after the grid indices — hence the (l, tables, woff) signatures.
+    wspec = lambda shape: pl.BlockSpec(shape, lambda l, tables, woff: (l, 0, 0))  # noqa: E731
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     qkv_w, o_w = bp["qkv_w"], bp["o_w"]
     gu_w, dn_w = lay["gateup_w"], lay["down_w"]
 
     in_specs = [
         vmem,  # x
         vmem,  # positions
-        vmem,  # n_exist
         wspec((1,) + qkv_w.q.shape[1:]), wspec((1, 1, qkv_w.s.shape[-1])),
         wspec((1,) + o_w.q.shape[1:]), wspec((1, 1, o_w.s.shape[-1])),
         wspec((1,) + gu_w.q.shape[1:]), wspec((1, 1, gu_w.s.shape[-1])),
@@ -388,55 +478,70 @@ def talker_stack_burst(
         vmem,  # epad
         vmem,  # eunpad
     ]
-    # per-lane KV blocks: index maps close over the lane's table entry
-    def kv_spec(shape2):
+    # per-lane scale blocks: index maps close over the lane's table entry
+    def scale_specs():
         specs = []
         for b in range(B):
             specs.append(
                 pl.BlockSpec(
-                    (1, 1) + shape2,
-                    lambda l, tables, b=b: (l, tables[b], 0, 0),
+                    (1, 1, block_size, 1),
+                    lambda l, tables, woff, b=b: (l, tables[b], 0, 0),
                 )
             )
         return specs
 
-    in_specs += kv_spec((block_size, nkv))  # k blocks
-    in_specs += kv_spec((block_size, 1))    # k scales
-    in_specs += kv_spec((block_size, nkv))  # v blocks
-    in_specs += kv_spec((block_size, 1))    # v scales
+    in_specs += scale_specs()  # k scales
+    in_specs += scale_specs()  # v scales
+    in_specs += [any_spec, any_spec]  # kq, vq value planes (stay in HBM)
+
+    # flattened input indices for the aliased value planes: 2 scalar-prefetch
+    # args + the in_specs list above
+    n_before = 2 + len(in_specs) - 2
+    aliases = {n_before: 2, n_before + 1: 3}
 
     kernel = functools.partial(
         _stack_kernel, spec=spec, num_layers=L, B=B, D=D,
         block_size=block_size,
     )
-    hid, k_rows, v_rows = pl.pallas_call(
+    hid, scl, kq_new, vq_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(L,),
             in_specs=in_specs,
             out_specs=[
                 vmem,
-                pl.BlockSpec((1, B, nkv), lambda l, tables: (l, 0, 0)),
-                pl.BlockSpec((1, B, nkv), lambda l, tables: (l, 0, 0)),
+                pl.BlockSpec((1, B, DP), lambda l, tables, woff: (l, 0, 0)),
+                any_spec,
+                any_spec,
             ],
-            scratch_shapes=[pltpu.VMEM((B, D), jnp.bfloat16)],
+            scratch_shapes=[
+                pltpu.VMEM((B, D), jnp.bfloat16),                 # h
+                pltpu.VMEM((2, B, block_size, nkv), jnp.int8),    # kbuf
+                pltpu.VMEM((2, B, block_size, nkv), jnp.int8),    # vbuf
+                pltpu.VMEM((B, L, WROWS, nkv), jnp.int8),         # rowk
+                pltpu.VMEM((B, L, WROWS, nkv), jnp.int8),         # rowv
+                pltpu.SemaphoreType.DMA((2, B, 2)),               # read sems
+                pltpu.SemaphoreType.DMA((B, 2)),                  # write sems
+            ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, B, nkv), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, B, nkv), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, B, DP), jnp.float32),
+            jax.ShapeDtypeStruct((L, S, nkv), jnp.int8),
+            jax.ShapeDtypeStruct((L, S, nkv), jnp.int8),
         ],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        block_tables[:, 0].astype(jnp.int32),  # scalar prefetch
+        tables,  # scalar prefetch
+        woff,
         x.astype(jnp.bfloat16),
         positions.reshape(B, 1).astype(jnp.int32),
-        (kv_lens - 1).reshape(B, 1).astype(jnp.int32),
         qkv_w.q, _mid1(qkv_w.s),
         o_w.q, _mid1(o_w.s),
         gu_w.q, _mid1(gu_w.s),
@@ -447,12 +552,19 @@ def talker_stack_burst(
         bp["k_norm"].reshape(L, 1, DP),
         params["norm"].astype(jnp.bfloat16).reshape(1, -1),
         bp["inv_freq"], bp["rot"], bp["epad"], bp["eunpad"],
-        # the same cache arrays passed once per lane — each positional
+        # the same scale arrays passed once per lane — each positional
         # argument pairs with its lane's BlockSpec (index map table[b])
-        *([kq] * B), *([ks] * B), *([vq] * B), *([vs] * B),
+        *([ksb] * B), *([vsb] * B),
+        kq, vq,
     )
+    # scale planes: one in-place scatter per cache (values were written
+    # in-kernel through the aliased planes)
+    slots = tables * block_size + woff
+    ks2 = k_cache.s.at[:, slots].set(scl[:, :, 0], mode="drop")
+    vs2 = v_cache.s.at[:, slots].set(scl[:, :, 1], mode="drop")
+    shape4 = (L, S, Hkv, d)
     return (
         hid.astype(x.dtype),
-        k_rows.reshape(L, B, Hkv, d),
-        v_rows.reshape(L, B, Hkv, d),
+        QuantizedKV(kq_new.reshape(shape4), ks2),
+        QuantizedKV(vq_new.reshape(shape4), vs2),
     )

@@ -95,23 +95,35 @@ def test_burst_matches_xla_stack(setup, rng):
         params["layers"], params["norm"], x, positions, slots, bt, kv_lens,
         kc, vc, spec, bs, "xla",
     )
-    hid, k_rows, v_rows = talker_stack_burst(
+    hid, kc3, vc3 = talker_stack_burst(
         params, spec, x, positions, bt, kv_lens, kc, vc, bs, interpret=True,
     )
     a = np.asarray(hid_ref, np.float32)
     b = np.asarray(hid, np.float32)
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 5e-2
 
-    # new KV rows must match what the XLA path scattered into the cache
-    # (reference rows are int8-quantized round trips -> ~1% of scale)
-    kq_ref = np.asarray(kc2.q, np.float32)
-    ks_ref = np.asarray(kc2.s)
-    for i in range(B):
-        s = int(slots[i])
-        ref_row = kq_ref[:, s] * ks_ref[:, s][:, None, None]
-        got = np.asarray(k_rows, np.float32)[:, i]
-        scale = np.abs(ref_row).max() + 1e-9
-        assert np.abs(ref_row - got).max() / scale < 3e-2
+    # the kernel's in-place cache writes must match what the XLA path
+    # scattered (reference rows are int8 round trips -> ~1% of scale);
+    # history rows (restored bit-exact by the write window) must be intact
+    for ref_c, got_c in ((kc2, kc3), (vc2, vc3)):
+        q_ref = np.asarray(ref_c.q, np.float32)
+        s_ref = np.asarray(ref_c.s)
+        q_got = np.asarray(got_c.q, np.float32)
+        s_got = np.asarray(got_c.s)
+        for i in range(B):
+            s = int(slots[i])
+            ref_row = q_ref[:, s] * s_ref[:, s][:, None, None]
+            got_row = q_got[:, s] * s_got[:, s][:, None, None]
+            scale = np.abs(ref_row).max() + 1e-9
+            assert np.abs(ref_row - got_row).max() / scale < 3e-2
+            # history rows below the write offset: bit-identical
+            lo = int(tables[i, 0]) * bs
+            np.testing.assert_array_equal(
+                q_got[:, lo : lo + hist], q_ref[:, lo : lo + hist]
+            )
+            np.testing.assert_allclose(
+                s_got[:, lo : lo + hist], s_ref[:, lo : lo + hist]
+            )
 
 
 def test_burst_requires_one_block_per_lane(setup, rng):
