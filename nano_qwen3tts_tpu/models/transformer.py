@@ -241,10 +241,13 @@ def write_kv_rows_deferred(k_cache, v_cache, k_rows, v_rows, slots):
     if isinstance(k_cache, QuantizedKV):
         kq, ks = quantize_kv_rows(k_rows)  # [L,B,Hkv,d] -> int8 + [L,B]
         vq, vs = quantize_kv_rows(v_rows)
+        L = kq.shape[0]
+        kq = kq.reshape(L, B, -1)  # flat cache minor dim (see QuantizedKV)
+        vq = vq.reshape(L, B, -1)
         for i in range(B):
             k_cache = QuantizedKV(
                 jax.lax.dynamic_update_slice(
-                    k_cache.q, kq[:, i : i + 1], (0, slots[i], 0, 0)
+                    k_cache.q, kq[:, i : i + 1], (0, slots[i], 0)
                 ),
                 jax.lax.dynamic_update_slice(
                     k_cache.s, ks[:, i : i + 1], (0, slots[i])
@@ -252,7 +255,7 @@ def write_kv_rows_deferred(k_cache, v_cache, k_rows, v_rows, slots):
             )
             v_cache = QuantizedKV(
                 jax.lax.dynamic_update_slice(
-                    v_cache.q, vq[:, i : i + 1], (0, slots[i], 0, 0)
+                    v_cache.q, vq[:, i : i + 1], (0, slots[i], 0)
                 ),
                 jax.lax.dynamic_update_slice(
                     v_cache.s, vs[:, i : i + 1], (0, slots[i])

@@ -51,13 +51,14 @@ def write_kv(
     if isinstance(k_cache_l, QuantizedKV):
         kq, ks = quantize_kv_rows(k)
         vq, vs = quantize_kv_rows(v)
+        n = kq.shape[0]
         return (
             QuantizedKV(
-                k_cache_l.q.at[slots].set(kq, mode="drop"),
+                k_cache_l.q.at[slots].set(kq.reshape(n, -1), mode="drop"),
                 k_cache_l.s.at[slots].set(ks, mode="drop"),
             ),
             QuantizedKV(
-                v_cache_l.q.at[slots].set(vq, mode="drop"),
+                v_cache_l.q.at[slots].set(vq.reshape(n, -1), mode="drop"),
                 v_cache_l.s.at[slots].set(vs, mode="drop"),
             ),
         )
@@ -111,7 +112,14 @@ def prefill_slot_mapping(block_table: list[int], num_tokens: int, block_size: in
 
 @jax.tree_util.register_pytree_node_class
 class QuantizedKV:
-    """int8 cache [L, S, Hkv, d] + per-slot scales [L, S] (f32)."""
+    """int8 cache [L, S, Hkv*d] + per-slot scales [L, S] (f32).
+
+    The value plane is stored FLAT in the minor dim (Hkv*d == 128 for the
+    talker): a 4-D ``[L, S, Hkv, d]`` int8 array gets an XLA layout with S
+    minor-most (``{1,3,2,0}``), and every reshape to the Pallas kernels'
+    flat view then relayouts the whole plane (~168 MB copied 4x per frame,
+    measured). Head structure is a pure indexing convention at use sites.
+    """
 
     def __init__(self, q, s):
         self.q = q
@@ -137,7 +145,7 @@ def make_kv_cache_int8(
     num_layers: int, num_blocks: int, block_size: int, kv_heads: int, head_dim: int
 ) -> tuple[QuantizedKV, QuantizedKV]:
     S = num_blocks * block_size
-    shape = (num_layers, S, kv_heads, head_dim)
+    shape = (num_layers, S, kv_heads * head_dim)
     mk = lambda: QuantizedKV(
         jnp.zeros(shape, jnp.int8), jnp.ones((num_layers, S), jnp.float32)
     )

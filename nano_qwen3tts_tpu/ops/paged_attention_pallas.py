@@ -614,16 +614,16 @@ def paged_decode_attention_extend_int8(
     q, k_new, v_new, k_cache, v_cache, layer, block_tables,
     kv_lens_existing, block_size, scale, interpret=False,
 ):
-    """k_cache/v_cache are ops.kv_cache.QuantizedKV."""
+    """k_cache/v_cache are ops.kv_cache.QuantizedKV (flat [L, S, F])."""
     B, Hq, d = q.shape
-    L, S, Hkv, _ = k_cache.q.shape
-    F = Hkv * d
+    L, S, F = k_cache.q.shape
+    Hkv = F // d
     group = Hq // Hkv
     NB = block_tables.shape[1]
     W = NB * block_size
 
-    kf = k_cache.q.reshape(L, S, F)
-    vf = v_cache.q.reshape(L, S, F)
+    kf = k_cache.q
+    vf = v_cache.q
     ks = k_cache.s.reshape(L, 1, S)
     vs = v_cache.s.reshape(L, 1, S)
     head_of = jnp.arange(Hq) // group
@@ -692,13 +692,18 @@ def paged_decode_attention_extend_int8_xla(
     from nano_qwen3tts_tpu.ops.kv_cache import gather_kv
 
     B, Hq, d = q.shape
+    Hkv = kq_l.shape[-1] // d  # flat [S, F] value plane
     k_win_q, v_win_q = gather_kv(kq_l, vq_l, block_tables, block_size)
     offs = jnp.arange(block_size, dtype=jnp.int32)
     slots = (
         block_tables[:, :, None] * block_size + offs[None, None, :]
     ).reshape(B, -1)
-    k_win = k_win_q.astype(jnp.float32) * ks_l[slots][..., None, None]
-    v_win = v_win_q.astype(jnp.float32) * vs_l[slots][..., None, None]
+    k_win = (k_win_q.astype(jnp.float32) * ks_l[slots][..., None]).reshape(
+        B, -1, Hkv, d
+    )
+    v_win = (v_win_q.astype(jnp.float32) * vs_l[slots][..., None]).reshape(
+        B, -1, Hkv, d
+    )
     W = k_win.shape[1]
     n_rep = Hq // k_win.shape[2]
     k_all = jnp.concatenate([k_win.astype(q.dtype), k_new[:, None]], axis=1)

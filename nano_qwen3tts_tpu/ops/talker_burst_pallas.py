@@ -29,9 +29,17 @@ over layers:
   offset are never read back (the kv_len mask excludes them) — this is why
   ``block_size`` must be a multiple of 8;
 * per-slot KV **scales** are small (4 B/slot vs 128 B/slot of values), so
-  they stay XLA-side: windows enter as streamed per-lane blocks and the new
-  rows' scales leave via a packed ``[L, B, 128]`` output that the caller
-  scatters with a normal in-place dynamic-update-slice;
+  they stay XLA-side: the per-lane windows are gathered into one
+  ``[B, L, 1, bs]`` VMEM input (the unit dim keeps both lane and layer
+  indices on untiled leading axes — NEVER stream ``[.., bs, 1]`` blocks:
+  a minor-dim-1 layout is physically padded to the 128-lane tile and XLA
+  materializes a 128x-padded copy of the whole scale plane every frame,
+  which was the dominant cost of the first integration) and the new rows'
+  scales leave via a packed ``[L, B, 128]`` output that the caller scatters
+  with a normal in-place dynamic-update-slice. Dequantization folds into
+  attention AFTER the matmuls: int8 cache values are exact in bfloat16, so
+  ``scores = (q·k_int) * scale * sk[1,bs]`` and ``probs * sv[1,bs]`` give
+  the same math with per-column scale rows instead of per-row columns;
 * attention is attend-with-extension, exactly like the XLA fallback
   (ops/paged_attention_pallas.paged_decode_attention_extend_int8_xla):
   the current token's K/V stay in registers, int8 window dequant is folded
@@ -119,14 +127,12 @@ def _stack_kernel(
     *rest,
     spec: AttnSpec, num_layers: int, B: int, D: int, block_size: int,
 ):
-    # rest = B k-scale blocks, B v-scale blocks, kq_hbm, vq_hbm (ANY),
-    # then outputs (hid, scl, kq_out, vq_out),
+    # rest = ksw, vsw ([B, L, 1, bs] f32 gathered scale windows),
+    # kq_hbm, vq_hbm (ANY), then outputs (hid, scl, kq_out, vq_out),
     # then scratch (h, kbuf, vbuf, rowk, rowv, rsem, wsem)
-    ks_refs = rest[0 * B : 1 * B]          # each [1, 1, bs, 1] f32
-    vs_refs = rest[1 * B : 2 * B]
-    kq_hbm, vq_hbm = rest[2 * B : 2 * B + 2]
-    hid_ref, scl_ref, kq_out, vq_out = rest[2 * B + 2 : 2 * B + 6]
-    h_scr, kbuf, vbuf, rowk, rowv, rsem, wsem = rest[2 * B + 6 :]
+    ksw_ref, vsw_ref, kq_hbm, vq_hbm = rest[:4]
+    hid_ref, scl_ref, kq_out, vq_out = rest[4:8]
+    h_scr, kbuf, vbuf, rowk, rowv, rsem, wsem = rest[8:]
 
     l = pl.program_id(0)
     Hq, Hkv, d = spec.num_heads, spec.num_kv_heads, spec.head_dim
@@ -231,16 +237,18 @@ def _stack_kernel(
     kpad3 = k  # [B, Hkv, DP] current-token K (padded layout)
     attn_rows = []
     for b in range(B):
-        sk = ks_refs[b][0, 0]            # [bs, 1] f32 per-slot scales
-        sv = vs_refs[b][0, 0]
-        # pad-expand the int8 window once per lane: [bs, nkv] -> [bs, Hkv*DP]
+        sk = ksw_ref[b, l]               # [1, bs] f32 per-slot scales
+        sv = vsw_ref[b, l]
+        # pad-expand the raw int8 window once per lane (int8 values are
+        # exact in bf16; per-slot scales fold in AFTER the matmuls):
+        # [bs, nkv] -> [bs, Hkv*DP]
         kw = jax.lax.dot_general(
-            (kbuf[l % 2, b].astype(jnp.float32) * sk).astype(jnp.bfloat16),
+            kbuf[l % 2, b].astype(jnp.bfloat16),
             epad_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16).reshape(block_size, Hkv, DP)
         vw = jax.lax.dot_general(
-            (vbuf[l % 2, b].astype(jnp.float32) * sv).astype(jnp.bfloat16),
+            vbuf[l % 2, b].astype(jnp.bfloat16),
             epad_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16).reshape(block_size, Hkv, DP)
@@ -255,7 +263,7 @@ def _stack_kernel(
             scores = jax.lax.dot_general(
                 qg, kg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * spec.scale                                      # [n_rep, bs]
+            ) * (sk * spec.scale)                               # [n_rep, bs]
             scores = jnp.where(mask, scores, NEG_INF)
             # elementwise-and-reduce (a 1-row mixed-precision dot trips a
             # Mosaic vector.broadcast verifier bug)
@@ -268,7 +276,7 @@ def _stack_kernel(
             pe = jnp.exp(ext - m)                               # [n_rep, 1]
             denom = jnp.sum(p, axis=1, keepdims=True) + pe      # [n_rep, 1]
             acc = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vg,
+                (p * sv).astype(jnp.bfloat16), vg,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                    # [n_rep, DP]
@@ -417,7 +425,7 @@ def talker_stack_burst(
     positions: jax.Array,    # [B] int32 rope positions
     block_tables: jax.Array, # [B, NB] int32 (only column 0 is used: NB==1)
     kv_lens: jax.Array,      # [B] int32 valid entries incl. this write
-    k_cache,                 # QuantizedKV [L, S, Hkv, d] + [L, S]
+    k_cache,                 # QuantizedKV: flat [L, S, Hkv*d] + [L, S]
     v_cache,
     block_size: int,
     interpret: bool = False,
@@ -440,15 +448,20 @@ def talker_stack_burst(
     Hkv, d = spec.num_kv_heads, spec.head_dim
     nkv = Hkv * d
     S = k_cache.q.shape[1]
-    n_blocks = S // block_size
+    assert k_cache.q.shape[-1] == nkv, "QuantizedKV value plane must be flat"
+
 
     tables = block_tables[:, 0].astype(jnp.int32)
     woff = jnp.clip(kv_lens - 1, 0, block_size - 1).astype(jnp.int32)
 
-    kq = k_cache.q.reshape(L, S, nkv)   # free bitcast: minor dims collapse
-    vq = v_cache.q.reshape(L, S, nkv)
-    ksb = k_cache.s.reshape(L, n_blocks, block_size, 1)
-    vsb = v_cache.s.reshape(L, n_blocks, block_size, 1)
+    kq = k_cache.q  # flat [L, S, nkv] — NO reshape (a 4-D cache layout puts
+    vq = v_cache.q  # S minor-most and reshaping relayouts the whole plane)
+    # gather each lane's scale window [B, L, 1, bs]: the unit dim keeps b/l
+    # on untiled leading axes (a [.., bs, 1] layout would be lane-padded
+    # 128x and materialize the whole scale plane per frame — see module doc)
+    win = tables[:, None] * block_size + jnp.arange(block_size, dtype=jnp.int32)
+    ksw = jnp.transpose(k_cache.s[:, win], (1, 0, 2))[:, :, None, :]
+    vsw = jnp.transpose(v_cache.s[:, win], (1, 0, 2))[:, :, None, :]
 
     def _mid1(a, dtype=jnp.float32):
         return a.astype(dtype).reshape(a.shape[0], 1, a.shape[1])
@@ -478,20 +491,7 @@ def talker_stack_burst(
         vmem,  # epad
         vmem,  # eunpad
     ]
-    # per-lane scale blocks: index maps close over the lane's table entry
-    def scale_specs():
-        specs = []
-        for b in range(B):
-            specs.append(
-                pl.BlockSpec(
-                    (1, 1, block_size, 1),
-                    lambda l, tables, woff, b=b: (l, tables[b], 0, 0),
-                )
-            )
-        return specs
-
-    in_specs += scale_specs()  # k scales
-    in_specs += scale_specs()  # v scales
+    in_specs += [vmem, vmem]  # ksw, vsw gathered scale windows
     in_specs += [any_spec, any_spec]  # kq, vq value planes (stay in HBM)
 
     # flattened input indices for the aliased value planes: 2 scalar-prefetch
@@ -552,9 +552,7 @@ def talker_stack_burst(
         bp["k_norm"].reshape(L, 1, DP),
         params["norm"].astype(jnp.bfloat16).reshape(1, -1),
         bp["inv_freq"], bp["rot"], bp["epad"], bp["eunpad"],
-        # the same scale arrays passed once per lane — each positional
-        # argument pairs with its lane's BlockSpec (index map table[b])
-        *([ksb] * B), *([vsb] * B),
+        ksw, vsw,
         kq, vq,
     )
     # scale planes: one in-place scatter per cache (values were written
@@ -562,9 +560,8 @@ def talker_stack_burst(
     slots = tables * block_size + woff
     ks2 = k_cache.s.at[:, slots].set(scl[:, :, 0], mode="drop")
     vs2 = v_cache.s.at[:, slots].set(scl[:, :, 1], mode="drop")
-    shape4 = (L, S, Hkv, d)
     return (
         hid.astype(x.dtype),
-        QuantizedKV(kq_new.reshape(shape4), ks2),
-        QuantizedKV(vq_new.reshape(shape4), vs2),
+        QuantizedKV(kq_new, ks2),
+        QuantizedKV(vq_new, vs2),
     )

@@ -160,7 +160,9 @@ class TestInt8KV:
         vc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
         kq, ks = quantize_kv_rows(jnp.asarray(kc))
         vq, vs = quantize_kv_rows(jnp.asarray(vc))
-        kqkv, vqkv = QuantizedKV(kq, ks), QuantizedKV(vq, vs)
+        # QuantizedKV stores the value plane flat (see ops/kv_cache.py)
+        kqkv = QuantizedKV(kq.reshape(L, S, -1), ks)
+        vqkv = QuantizedKV(vq.reshape(L, S, -1), vs)
         tables = np.array([[5, 9, 2, 0], [7, 1, 0, 0]], np.int32)
         lens = np.array([40, 17], np.int32)
         layer = jnp.asarray(1, jnp.int32)
@@ -195,7 +197,9 @@ class TestInt8KV:
         vc = rng.standard_normal((L, S, Hkv, d)).astype(np.float32)
         kq, ks = quantize_kv_rows(jnp.asarray(kc))
         vq, vs = quantize_kv_rows(jnp.asarray(vc))
-        kqkv, vqkv = QuantizedKV(kq, ks), QuantizedKV(vq, vs)
+        # QuantizedKV stores the value plane flat (see ops/kv_cache.py)
+        kqkv = QuantizedKV(kq.reshape(L, S, -1), ks)
+        vqkv = QuantizedKV(vq.reshape(L, S, -1), vs)
         tables = np.array([[5, 9, 2, 0], [7, 1, 0, 0]], np.int32)
         lens = np.array([40, 17], np.int32)
         layer = jnp.asarray(0, jnp.int32)

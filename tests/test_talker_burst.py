@@ -68,9 +68,9 @@ def _seeded_cache(L, bs, tables, hist, rng):
         raw_v = rng.standard_normal((L, hist, 2, 64)).astype(np.float32) * 0.3
         kr, krs = quantize_kv_rows(jnp.asarray(raw_k).reshape(L * hist, 2, 64))
         vr, vrs = quantize_kv_rows(jnp.asarray(raw_v).reshape(L * hist, 2, 64))
-        kq[:, s0 : s0 + hist] = np.asarray(kr).reshape(L, hist, 2, 64)
+        kq[:, s0 : s0 + hist] = np.asarray(kr).reshape(L, hist, 128)
         ks[:, s0 : s0 + hist] = np.asarray(krs).reshape(L, hist)
-        vq[:, s0 : s0 + hist] = np.asarray(vr).reshape(L, hist, 2, 64)
+        vq[:, s0 : s0 + hist] = np.asarray(vr).reshape(L, hist, 128)
         vs[:, s0 : s0 + hist] = np.asarray(vrs).reshape(L, hist)
     return (
         QuantizedKV(jnp.asarray(kq), jnp.asarray(ks)),
@@ -112,8 +112,8 @@ def test_burst_matches_xla_stack(setup, rng):
         s_got = np.asarray(got_c.s)
         for i in range(B):
             s = int(slots[i])
-            ref_row = q_ref[:, s] * s_ref[:, s][:, None, None]
-            got_row = q_got[:, s] * s_got[:, s][:, None, None]
+            ref_row = q_ref[:, s] * s_ref[:, s][:, None]
+            got_row = q_got[:, s] * s_got[:, s][:, None]
             scale = np.abs(ref_row).max() + 1e-9
             assert np.abs(ref_row - got_row).max() / scale < 3e-2
             # history rows below the write offset: bit-identical
