@@ -58,13 +58,15 @@ def build_engine(smoke: bool):
     cfg = preset_config("tiny" if smoke else "1.7b")
     tc = cfg.talker_config
     dtype = jnp.float32 if smoke else jnp.bfloat16
-    # BENCH_ATTN=burst: whole-stack Pallas talker kernel (needs one cache
-    # block per lane -> block size == max_model_len); measured 2.6x the XLA
-    # talker stack at batch 8 on v5e.
+    # attention_impl "auto" selects the whole-stack Pallas talker burst
+    # kernel when the layout allows (int8 weights+KV, one cache block per
+    # lane -> block size == max_model_len): batch-8 frame 8.7 -> 2.8 ms on
+    # v5e vs the per-layer paths. BENCH_ATTN=pallas/xla + a 128 block size
+    # select the per-layer attention paths instead.
     attn = os.environ.get("BENCH_ATTN", "auto")
     ecfg = EngineConfig(
         max_model_len=1024,
-        kvcache_block_size=1024 if attn == "burst" else 128,
+        kvcache_block_size=128 if attn in ("pallas", "xla") else 1024,
         attention_impl=attn,
         max_active_streams=32,
         decode_buckets=(1, 2, 4, 8, 16, 32),

@@ -98,13 +98,15 @@ class Runner:
         self.eos = engine_config.eos
 
         impl = engine_config.attention_impl
-        if impl == "auto":
-            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-        if impl == "burst":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if impl in ("auto", "burst") and on_tpu:
             # whole-stack Pallas talker kernel: requires the padded-head
             # weight layout (built once here), int8 KV, and one cache block
-            # per lane (kvcache_block_size == max_model_len)
+            # per lane (kvcache_block_size == max_model_len). "auto" prefers
+            # it when the layout allows (fastest measured config on v5e);
+            # otherwise falls back to the per-layer pallas attention.
             from nano_qwen3tts_tpu.ops.talker_burst_pallas import (
+                WROWS,
                 make_burst_params,
             )
 
@@ -112,14 +114,18 @@ class Runner:
                 make_burst_params(talker_params, self.tspec)
                 if engine_config.kv_cache_dtype == "int8"
                 and engine_config.kvcache_block_size == engine_config.max_model_len
+                and engine_config.kvcache_block_size % WROWS == 0
                 else None
             )
             if bp is not None:
                 self.tparams = talker_params = dict(
                     talker_params, talker_burst=bp
                 )
+                impl = "burst"
             else:
-                impl = "xla"
+                impl = "pallas"
+        elif impl in ("auto", "burst"):
+            impl = "xla"
         self.attn_impl = impl
         pimpl = engine_config.predictor_impl
         if pimpl == "auto":
