@@ -427,14 +427,29 @@ class SpeechTokenizer:
 
     def decode_pcm16(self, codes) -> list[np.ndarray]:
         """Decode straight to int16 PCM on device (half the transfer)."""
+        dev, n = self.dispatch_pcm16(codes)
+        pcm = np.asarray(dev)
+        return [pcm[b, :n] for b in range(pcm.shape[0])]
+
+    def dispatch_pcm16(self, codes):
+        """Non-blocking half of decode_pcm16: enqueue the decode and start
+        the device->host copy, return (device array [B, samples], n_valid).
+
+        Lets the caller run the blocking fetch on a different thread than
+        the device-dispatch thread (engine/device_executor.FETCH_EXECUTOR),
+        so a high-latency host<->device link doesn't stall other device
+        work behind the transfer."""
         arr = self.normalize_codes(codes)
         B, NB, T = arr.shape
         tb = self._bucket(T)
         padded = np.zeros((B, NB, tb), np.int32)
         padded[:, :, :T] = arr
-        pcm = self._fetch(self._decode_pcm16_jit(self.params, jnp.asarray(padded)))
-        n = T * self.cfg.hop
-        return [pcm[b, :n] for b in range(B)]
+        dev = self._decode_pcm16_jit(self.params, jnp.asarray(padded))
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass
+        return dev, T * self.cfg.hop
 
     def chunked_decode(
         self, codes, chunk_size: int = 300, left_context: int = 25

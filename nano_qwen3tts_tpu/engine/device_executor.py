@@ -10,3 +10,11 @@ benching).
 from concurrent.futures import ThreadPoolExecutor
 
 DEVICE_EXECUTOR = ThreadPoolExecutor(max_workers=1, thread_name_prefix="device")
+
+# Separate thread for BLOCKING device->host fetches (np.asarray on arrays
+# whose transfer is already in flight). Fetching is safe off the dispatch
+# thread — only concurrent *dispatch* deadlocks remote-attached backends —
+# and a fetch through a high-latency relay would otherwise hold the device
+# thread for a full round trip, stalling the engine loop behind codec
+# decodes (measured: 8-CCU serving RTF 0.97 -> 0.5 by splitting).
+FETCH_EXECUTOR = ThreadPoolExecutor(max_workers=1, thread_name_prefix="fetch")

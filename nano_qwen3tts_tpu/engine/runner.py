@@ -55,7 +55,12 @@ def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # beyond the warmed set: next power of two (a lazily-compiled program is
+    # better than a crash; add_request caps n at max_model_len)
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 @dataclass

@@ -262,28 +262,36 @@ class Qwen3TTSInterface:
         # engine-internal (trail pool padding)
         talker_attention_mask=None,  # parity arg; engine buckets instead
         request_id: Optional[str] = None,
+        max_frames: int = 0,
     ) -> AsyncGenerator[List[int], None]:
         async for frame in self.engine.generate_async(
             inputs_embeds, trailing_text_hiddens, request_id=request_id,
+            max_frames=max_frames,
             talker_temperature=TALKER_TEMPERATURE,
             predictor_temperature=PREDICTOR_TEMPERATURE,
         ):
             yield frame
 
     async def generate_custom_voice_async(
-        self, text: str, language: str = "English", speaker: str = "Vivian"
+        self, text: str, language: str = "English", speaker: str = "Vivian",
+        max_frames: int = 0,
     ):
         embeds, trailing, _ = self._prep_custom_voice(text, language, speaker)
-        async for f in self.generate_async(embeds[0], trailing[0]):
+        async for f in self.generate_async(
+            embeds[0], trailing[0], max_frames=max_frames
+        ):
             yield f
 
     async def generate_voice_design_async(
-        self, text: str, instruct: str, language: Optional[str] = None
+        self, text: str, instruct: str, language: Optional[str] = None,
+        max_frames: int = 0,
     ):
         embeds, trailing, _ = self._prep_voice_design(
             text, instruct, language or "Auto"
         )
-        async for f in self.generate_async(embeds[0], trailing[0]):
+        async for f in self.generate_async(
+            embeds[0], trailing[0], max_frames=max_frames
+        ):
             yield f
 
     async def generate_voice_clone_async(
@@ -295,6 +303,7 @@ class Qwen3TTSInterface:
         x_vector_only_mode: bool = False,
         voice_clone_prompt: Optional[Dict[str, Any]] = None,
         non_streaming_mode: bool = True,
+        max_frames: int = 0,
     ):
         if voice_clone_prompt is None:
             if ref_audio is None:
@@ -308,7 +317,9 @@ class Qwen3TTSInterface:
             text, language or "Auto", voice_clone_prompt, ref_text,
             non_streaming_mode,
         )
-        async for f in self.generate_async(embeds[0], trailing[0]):
+        async for f in self.generate_async(
+            embeds[0], trailing[0], max_frames=max_frames
+        ):
             yield f
 
     # sync variants (offline/batch; engine's blocking step loop)

@@ -116,14 +116,33 @@ class DecodeWorker:
             by_len: dict[int, list] = {}
             for c, f in jobs:
                 by_len.setdefault(c.shape[0], []).append((c, f))
-            from nano_qwen3tts_tpu.engine.device_executor import DEVICE_EXECUTOR
+            from nano_qwen3tts_tpu.engine.device_executor import (
+                DEVICE_EXECUTOR,
+                FETCH_EXECUTOR,
+            )
 
             loop = asyncio.get_running_loop()
+            # dispatch on the device thread (fast enqueue), fetch on the
+            # dedicated fetch thread: the blocking device->host transfer
+            # (a full round trip on a remote-relay link) must not hold the
+            # device thread, or the engine loop stalls behind every decode
+            can_split = hasattr(self.codec, "dispatch_pcm16")
             use_pcm16 = hasattr(self.codec, "decode_pcm16")
             for T, group in by_len.items():
                 batch = np.stack([c.T for c, _ in group])  # [B, 16, T]
                 try:
-                    if use_pcm16:
+                    if can_split:
+                        dev, n = await loop.run_in_executor(
+                            DEVICE_EXECUTOR, self.codec.dispatch_pcm16, batch
+                        )
+                        pcm = await loop.run_in_executor(
+                            FETCH_EXECUTOR, np.asarray, dev
+                        )
+                        pcms = [pcm[b, :n] for b in range(pcm.shape[0])]
+                        for (c, f), w in zip(group, pcms):
+                            if not f.done():
+                                f.set_result(w)
+                    elif use_pcm16:
                         pcms = await loop.run_in_executor(
                             DEVICE_EXECUTOR, self.codec.decode_pcm16, batch
                         )
@@ -239,10 +258,13 @@ class TTSServer:
         voice = req.get("voice", "Vivian")
         text = req.get("input") or req.get("text") or ""
         language = req.get("language", "Auto")
+        # extension over the reference API: cap generated frames (12.5/s);
+        # 0 = run to EOS. Used by load tests for deterministic durations.
+        max_frames = int(req.get("max_frames", 0) or 0)
         clone_prefix = None
         if mode == "voice_design" or req.get("instruct"):
             gen = self.iface.generate_voice_design_async(
-                text, req.get("instruct", ""), language
+                text, req.get("instruct", ""), language, max_frames=max_frames
             )
         elif self.registry.get(voice) is not None:
             prompt = self.registry.get(voice)
@@ -251,9 +273,12 @@ class TTSServer:
             gen = self.iface.generate_voice_clone_async(
                 text, language=language, voice_clone_prompt=prompt,
                 non_streaming_mode=bool(req.get("non_streaming_mode", True)),
+                max_frames=max_frames,
             )
         else:
-            gen = self.iface.generate_custom_voice_async(text, language, voice)
+            gen = self.iface.generate_custom_voice_async(
+                text, language, voice, max_frames=max_frames
+            )
         debug_chunks = [] if self.debug_dir else None
         try:
             async for chunk in self._pcm_chunks(gen, clone_prefix):

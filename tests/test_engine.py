@@ -151,3 +151,34 @@ def test_async_concurrent_streams(engine, rng):
     assert len(outs) == 4
     for o in outs:
         assert 1 <= len(o) <= 3
+
+
+def test_prompt_longer_than_warmed_prefill_bucket(rng):
+    """Prompts beyond the largest prefill bucket must still serve (the
+    runner falls back to a lazily-compiled power-of-two bucket instead of
+    crashing on the batch-assembly broadcast)."""
+    import jax
+
+    from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+    from nano_qwen3tts_tpu.engine.engine import TTSEngine
+    from nano_qwen3tts_tpu.models.weights import (
+        init_predictor_params,
+        init_talker_params,
+    )
+
+    cfg = preset_config("tiny")
+    tc = cfg.talker_config
+    tp = init_talker_params(tc, jax.random.PRNGKey(0), dtype="float32")
+    pp = init_predictor_params(
+        tc.code_predictor_config, jax.random.PRNGKey(1), dtype="float32"
+    )
+    ecfg = EngineConfig(
+        max_model_len=128, kvcache_block_size=16, max_num_batched_tokens=1024,
+        max_active_streams=2, decode_buckets=(1, 2), prefill_buckets=(32,),
+    )
+    eng = TTSEngine(ecfg, cfg, tp, pp,
+                    tts_pad_embed=np.zeros(tc.hidden_size, np.float32),
+                    num_kvcache_blocks=32)
+    prompt = (rng.standard_normal((70, tc.hidden_size)) * 0.3).astype(np.float32)
+    frames = list(eng.generate(prompt, None, max_frames=3))
+    assert 1 <= len(frames) <= 3 and all(len(f) == 16 for f in frames)
