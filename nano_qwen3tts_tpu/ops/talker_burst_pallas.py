@@ -414,7 +414,8 @@ def supports_talker_burst(params: dict, spec: AttnSpec, k_cache, B: int,
         and isinstance(k_cache, QuantizedKV)
         and block_size == max_model_len
         and block_size % WROWS == 0
-        and B <= 16  # per-lane DMA buffers; fall back for huge buckets
+        and B <= 32  # per-lane DMA buffers (compile-checked at 32 on v5e);
+        # fall back for larger buckets
     )
 
 

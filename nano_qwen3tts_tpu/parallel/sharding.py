@@ -89,8 +89,23 @@ def predictor_shardings(mesh: Mesh, cfg) -> dict:
 def kv_cache_sharding(mesh: Mesh, num_kv_heads: int) -> NamedSharding:
     model = mesh.shape["model"]
     kv = "model" if num_kv_heads % model == 0 else None
-    # [layers, slots, kv_heads, head_dim]
+    # bf16 cache [layers, slots, kv_heads, head_dim]
     return _ns(mesh, None, None, kv, None)
+
+
+def quantized_kv_sharding(mesh: Mesh, num_kv_heads: int):
+    """Sharding pytree for an int8 ops.kv_cache.QuantizedKV.
+
+    The value plane is FLAT [layers, slots, kv_heads*head_dim] (see
+    QuantizedKV docstring); sharding the flat minor dim over "model" splits
+    at head boundaries exactly like the fused k_w/v_w out-dim rule, so it
+    stays consistent with the projection sharding. Per-slot scales are
+    head-independent and replicate over "model"."""
+    from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV
+
+    model = mesh.shape["model"]
+    kv = "model" if num_kv_heads % model == 0 else None
+    return QuantizedKV(_ns(mesh, None, None, kv), _ns(mesh))
 
 
 def apply_shardings(tree: dict, shardings: dict, mesh: Mesh):

@@ -153,3 +153,19 @@ class TestSpeakerEncoder:
         np.testing.assert_allclose(v1, v2, atol=1e-5)
         v3 = enc.extract(rng.standard_normal(24000).astype(np.float32), 24000)
         assert not np.allclose(v1, v3)
+
+
+def test_dispatch_pcm16_matches_decode_pcm16(codec):
+    """The split dispatch/fetch path must produce the same PCM as the
+    blocking decode (server DecodeWorker uses dispatch + off-thread fetch)."""
+    rng = np.random.default_rng(3)
+    codes = rng.integers(
+        0, codec.cfg.codebook_size, size=(2, codec.cfg.num_codebooks, 7)
+    ).astype(np.int64)
+    want = codec.decode_pcm16(codes)
+    dev, n = codec.dispatch_pcm16(codes)
+    pcm = np.asarray(dev)
+    got = [pcm[b, :n] for b in range(pcm.shape[0])]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

@@ -94,3 +94,23 @@ def test_sharded_decode_step_matches_replicated(rng):
     np.testing.assert_allclose(
         np.asarray(pool_ref), np.asarray(pool_out), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_quantized_kv_sharding_places_int8_cache():
+    """The flat int8 cache shards its value plane at head boundaries and
+    replicates scales (predictor: 8 KV heads / model=4 -> shardable)."""
+    from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache_int8
+    from nano_qwen3tts_tpu.parallel.sharding import quantized_kv_sharding
+
+    mesh = mesh_for(8)  # 2 data x 4 model
+    kc, _ = make_kv_cache_int8(2, 4, 16, kv_heads=8, head_dim=32)
+    sh = quantized_kv_sharding(mesh, 8)
+    placed = jax.device_put(kc, sh)
+    assert placed.q.sharding.spec == sh.q.spec
+    assert placed.s.sharding.spec == sh.s.spec
+    # talker regime: 2 KV heads at model=4 -> value plane replicated
+    sh2 = quantized_kv_sharding(mesh, 2)
+    from jax.sharding import PartitionSpec as P
+
+    assert sh2.q.spec == P(None, None, None)
