@@ -187,10 +187,12 @@ def main():
     try:
         from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
 
+        # serving codec config: bf16 decode compute (see audio/codec.load_codec)
+        cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
         codec = SpeechTokenizer(
-            CodecConfig() if not smoke else CodecConfig(
+            CodecConfig(compute_dtype=cdt) if not smoke else CodecConfig(
                 codebook_size=64, latent_dim=32, base_channels=8,
-                upsample_rates=(4, 5, 4, 4),
+                upsample_rates=(4, 5, 4, 4), compute_dtype=cdt,
             )
         )
         codes = np.random.default_rng(0).integers(

@@ -76,7 +76,12 @@ def build_1p7b_interface():
         prefill_buckets=(128, 256),
         max_prefill_batch=2,
     )
-    codec = SpeechTokenizer(CodecConfig(), seed=0)
+    codec = SpeechTokenizer(
+        CodecConfig(
+            compute_dtype=os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
+        ),
+        seed=0,
+    )
     return Qwen3TTSInterface(
         engine_config=ecfg, model_config=cfg, talker_params=tp,
         predictor_params=pp, tokenizer=stub_tokenizer, speech_tokenizer=codec,

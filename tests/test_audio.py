@@ -136,6 +136,33 @@ class TestCodec:
         out = codec.decode_window(codes, left_context_frames=4)
         assert out.shape == (6 * codec.cfg.hop,)
 
+    def test_bfloat16_compute_close_to_float32(self, codec, rng):
+        """The serving default (load_codec) decodes with bf16 matmuls; the
+        waveform must stay close to the exact f32 path (production-size
+        codec measures ~0.25% relative RMS; this tiny random-weight test
+        codec sits a bit higher from cancellation, so the gate is 2%)."""
+        import dataclasses
+
+        cfg16 = dataclasses.replace(codec.cfg, compute_dtype="bfloat16")
+        codec16 = SpeechTokenizer(cfg16, codec.params)
+        codes = rng.integers(0, 64, size=(2, 16, 12)).astype(np.int32)
+        ref, _ = codec.decode(codes)
+        out, _ = codec16.decode(codes)
+        for r, o in zip(ref, out):
+            rms = float(np.sqrt(np.mean(r**2))) + 1e-9
+            err = float(np.sqrt(np.mean((o - r) ** 2)))
+            assert err / rms < 2e-2, err / rms
+
+    def test_load_codec_serving_default_is_bf16(self, tmp_path, monkeypatch):
+        from nano_qwen3tts_tpu.audio.codec import load_codec
+
+        monkeypatch.delenv("CODEC_COMPUTE_DTYPE", raising=False)
+        tok = load_codec(str(tmp_path))
+        assert tok.cfg.compute_dtype == "bfloat16"
+        monkeypatch.setenv("CODEC_COMPUTE_DTYPE", "float32")
+        tok = load_codec(str(tmp_path))
+        assert tok.cfg.compute_dtype == "float32"
+
 
 class TestSpeakerEncoder:
     def test_xvector_shape_and_determinism(self, rng):
