@@ -9,8 +9,23 @@ included), compared against the reference's published H100 batch-1 RTF of
 0.399 (BASELINE.md; reference README.md:74-79). vs_baseline =
 baseline_rtf / our_rtf, so > 1.0 means faster than the reference.
 
-Extra diagnostics (batch-8 per-stream RTF, frames/s/chip, codec tokens/s)
+Extra diagnostics (batch-8/32 per-stream RTF, frames/s/chip, codec tokens/s)
 go to stderr.
+
+Built to finish inside a tight driver budget on a remote-relay TPU backend
+(round 1 timed out; see VERDICT):
+  * weights are generated ON DEVICE in one jitted program (zero H2D upload;
+    host-side init + per-tensor transfer cost ~95 s through the relay);
+  * fuse+quantize run as one jitted program (engine.py), burst-layout
+    construction is one jitted program (talker_burst_pallas.py) — eagerly
+    these were dozens of per-op device round trips;
+  * every program is persisted to the JAX compile cache (min_compile_time
+    0) so repeat runs skip all XLA compiles — an *uncached* compile through
+    the relay costs minutes, so bench.py must only ever compile programs
+    this repo's round also compiled;
+  * a global deadline (BENCH_DEADLINE_S, default 450 s) gates the optional
+    legs (batch-8/32, codec): the primary JSON line is never sacrificed to
+    a diagnostic.
 
 Runs on whatever JAX platform the environment provides (the TPU chip under
 the driver; CPU works for smoke runs via BENCH_SMOKE=1).
@@ -27,24 +42,32 @@ import numpy as np
 
 BASELINE_RTF = 0.399  # reference engine, H100, 1.7B VoiceDesign, batch 1
 FRAME_SECONDS = 0.08  # 12.5 Hz codec
+T_START = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "450"))
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[bench +{time.time()-T_START:5.0f}s]", *a, file=sys.stderr, flush=True)
+
+
+def time_left() -> float:
+    return DEADLINE_S - (time.time() - T_START)
 
 
 def build_engine(smoke: bool):
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: repeat bench runs skip the (remote) XLA
-    # compiles entirely.
+    # Persistent compile cache: repeat bench runs (and the driver run after
+    # this repo's own warming run) skip the remote XLA compiles entirely.
+    # min_compile_time 0: even fast-compiling programs pay a full relay
+    # round trip — persist everything.
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
@@ -88,25 +111,30 @@ def build_engine(smoke: bool):
         # first-chunk latency minimal).
         pipeline_depth=int(os.environ.get("BENCH_PIPELINE_DEPTH", "2")),
     )
-    from nano_qwen3tts_tpu.models.weights import host_random_init
 
     t0 = time.time()
-    with host_random_init():
-        tparams = init_talker_params(tc, jax.random.PRNGKey(0), dtype=dtype)
-        pparams = init_predictor_params(
-            tc.code_predictor_config, jax.random.PRNGKey(1), dtype=dtype
+    # ONE jitted init program: weights are random-generated on device —
+    # nothing but the program hash crosses the relay.
+    pc = tc.code_predictor_config
+
+    @jax.jit
+    def _device_init():
+        tp = init_talker_params(
+            tc, jax.random.PRNGKey(0), dtype=dtype, include_text=False
         )
-    # The frame loop never touches the text tables (prompt prep is
-    # host-side); dropping them cuts the host->device weight upload from
-    # ~1.5GB to ~0.35GB — matters on a high-latency link.
-    tparams.pop("text_embedding", None)
-    tparams.pop("text_projection", None)
+        pp = init_predictor_params(pc, jax.random.PRNGKey(1), dtype=dtype)
+        return tp, pp
+
+    tparams, pparams = jax.block_until_ready(_device_init())
+    log(f"device weight init {time.time()-t0:.1f}s")
     # host-side pad vector (device fetch through the bench tunnel costs
     # minutes; content is irrelevant for random-weight throughput runs)
     pad = np.zeros(tc.hidden_size, np.float32)
+    t0 = time.time()
     engine = TTSEngine(ecfg, cfg, tparams, pparams, tts_pad_embed=pad)
-    log(f"[bench] engine built in {time.time()-t0:.1f}s "
-        f"(platform={jax.devices()[0].platform}, blocks={engine.runner.num_blocks})")
+    log(f"engine built {time.time()-t0:.1f}s "
+        f"(platform={jax.devices()[0].platform}, blocks={engine.runner.num_blocks}, "
+        f"attn={engine.runner.attn_impl}, predictor={engine.runner.predictor_impl})")
     return engine, tc
 
 
@@ -152,6 +180,49 @@ def run_stream(engine, tc, batch: int, n_frames: int, prompt_len: int = 64):
     return per_stream
 
 
+def bench_codec(smoke: bool) -> float:
+    """Pipelined 12-frame-window codec decode seconds (serving config)."""
+    from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
+
+    # serving codec config: bf16 decode compute (see audio/codec.load_codec)
+    cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
+    codec = SpeechTokenizer(
+        CodecConfig(compute_dtype=cdt) if not smoke else CodecConfig(
+            codebook_size=64, latent_dim=32, base_channels=8,
+            upsample_rates=(4, 5, 4, 4), compute_dtype=cdt,
+        )
+    )
+    codes = np.random.default_rng(0).integers(
+        0, codec.cfg.codebook_size, size=(1, 16, 12), dtype=np.int64
+    )
+    codec.decode_pcm16(codes)  # compile
+    import jax.numpy as _jnp
+
+    dev_codes = _jnp.asarray(np.zeros((1, 16, 16), np.int32))
+    reps, depth = 12, 4
+    # depth-4 pipeline: keeps several windows in flight so the number
+    # reflects device throughput, not the relay round trip (the server's
+    # DecodeWorker likewise overlaps decode dispatch with streaming).
+    from collections import deque
+
+    def _dispatch():
+        out = codec._decode_pcm16_jit(codec.params, dev_codes)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return out
+
+    pend = deque(_dispatch() for _ in range(depth))
+    t0 = time.time()
+    for _ in range(reps):
+        pend.append(_dispatch())
+        _ = np.asarray(pend.popleft())
+    while pend:
+        _ = np.asarray(pend.popleft())
+    return (time.time() - t0) / (reps + depth)
+
+
 def main():
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     if smoke:
@@ -161,105 +232,88 @@ def main():
     engine, tc = build_engine(smoke)
 
     n_frames = 16 if smoke else 64
-    # warmup/compile the buckets used below
-    t0 = time.time()
+    # ADVICE r1: clamp the diagnostic batch to what the engine can actually
+    # run concurrently and to a warmed decode bucket.
     bmax = int(os.environ.get("BENCH_MAX_BATCH", "4" if smoke else "32"))
-    decode_buckets = (1, 8) if bmax <= 8 else (1, 8, bmax)
-    engine.runner.warmup(
-        decode_buckets=decode_buckets, prefill_shapes=[(1, 128), (8, 128)]
-    )
-    log(f"[bench] warmup(compile) {time.time()-t0:.1f}s")
+    bmax = min(bmax, engine.cfg.max_active_streams, engine.cfg.decode_buckets[-1])
 
-    # batch 1
+    # Warm EXACTLY the programs the measured runs dispatch: decode buckets
+    # for batch 1/8(/bmax), and the prefill shapes the engine actually uses
+    # ((1,128) for batch-1; (max_prefill_batch,128) chunks for batches > 1).
+    t0 = time.time()
+    decode_buckets = [1]
+    if not smoke:
+        decode_buckets.append(8)
+        if bmax > 8:
+            decode_buckets.append(bmax)
+    pb = engine.cfg.max_prefill_batch
+    tb = engine.cfg.prefill_buckets[0]
+    engine.runner.warmup(
+        decode_buckets=tuple(decode_buckets),
+        prefill_shapes=[(1, tb), (pb, tb)],
+    )
+    log(f"warmup(compile) {time.time()-t0:.1f}s")
+
+    # batch 1 (the primary metric)
     step_s_1 = run_stream(engine, tc, 1, n_frames)
     rtf_1 = step_s_1 / FRAME_SECONDS
-    log(f"[bench] batch=1: {step_s_1*1e3:.1f} ms/frame, RTF={rtf_1:.3f}")
+    log(f"batch=1: {step_s_1*1e3:.1f} ms/frame, RTF={rtf_1:.3f}")
+    result = {
+        "metric": "rtf_1p7b_batch1_streaming",
+        "value": round(rtf_1, 4),
+        "unit": "rtf (generation_time / audio_time; lower is better)",
+        "vs_baseline": round(BASELINE_RTF / rtf_1, 3),
+    }
 
-    # batch 8
-    step_s_8 = run_stream(engine, tc, 8, n_frames)
-    rtf_8 = step_s_8 / FRAME_SECONDS
-    frames_per_s = 8.0 / step_s_8
-    log(
-        f"[bench] batch=8: {step_s_8*1e3:.1f} ms/frame/step, per-stream "
-        f"RTF={rtf_8:.3f}, {frames_per_s:.1f} frames/s/chip, "
-        f"{frames_per_s*16:.0f} codec tokens/s/chip"
-    )
+    try:
+        # batch 8 (north-star diagnostic: 8 CCU < real time)
+        if smoke or time_left() < 30:
+            raise TimeoutError("skipping batch-8 leg")
+        step_s_8 = run_stream(engine, tc, 8, n_frames)
+        rtf_8 = step_s_8 / FRAME_SECONDS
+        frames_per_s = 8.0 / step_s_8
+        log(
+            f"batch=8: {step_s_8*1e3:.1f} ms/frame/step, per-stream "
+            f"RTF={rtf_8:.3f}, {frames_per_s:.1f} frames/s/chip, "
+            f"{frames_per_s*16:.0f} codec tokens/s/chip"
+        )
 
-    # batch 32 (throughput ceiling): the burst kernels' per-frame weight
-    # stream is batch-independent, so per-stream cost keeps dropping as
-    # lanes fill — this is the chip's codec-token throughput story.
-    if bmax > 8:
-        try:
+        # batch bmax (throughput ceiling): the burst kernels' per-frame
+        # weight stream is batch-independent, so per-stream cost keeps
+        # dropping as lanes fill — the chip's codec-token throughput story.
+        if bmax > 8 and time_left() > 60:
             step_s_b = run_stream(engine, tc, bmax, n_frames)
             fps_b = bmax / step_s_b
             log(
-                f"[bench] batch={bmax}: {step_s_b*1e3:.1f} ms/frame/step, "
+                f"batch={bmax}: {step_s_b*1e3:.1f} ms/frame/step, "
                 f"per-stream RTF={step_s_b/FRAME_SECONDS:.3f}, "
                 f"{fps_b:.1f} frames/s/chip, "
                 f"{fps_b*16:.0f} codec tokens/s/chip"
             )
-        except Exception as e:  # diagnostics only — never fail the bench
-            log(f"[bench] batch={bmax} run skipped: {e}")
+        elif bmax > 8:
+            log(f"batch={bmax} leg skipped: {time_left():.0f}s left < 60s")
+    except TimeoutError as e:
+        log(str(e))
+    except Exception as e:  # diagnostics only — never fail the bench
+        log(f"diagnostic legs stopped: {e}")
 
-    # codec decode throughput (windowed streaming decode, 4-frame chunks)
+    # codec decode throughput (windowed streaming decode); folds the codec
+    # share into the primary RTF when time allows.
     try:
-        from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
-
-        # serving codec config: bf16 decode compute (see audio/codec.load_codec)
-        cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
-        codec = SpeechTokenizer(
-            CodecConfig(compute_dtype=cdt) if not smoke else CodecConfig(
-                codebook_size=64, latent_dim=32, base_channels=8,
-                upsample_rates=(4, 5, 4, 4), compute_dtype=cdt,
-            )
-        )
-        codes = np.random.default_rng(0).integers(
-            0, codec.cfg.codebook_size, size=(1, 16, 12), dtype=np.int64
-        )
-        codec.decode_pcm16(codes)  # compile
-        # pipelined throughput: dispatch next window before fetching the
-        # previous result (the server's DecodeWorker overlaps the same way)
-        import jax as _jax
-        import jax.numpy as _jnp
-
-        dev_codes = _jnp.asarray(np.zeros((1, 16, 16), np.int32))
-        reps, depth = 12, 4
-        # depth-4 pipeline: keeps several windows in flight so the number
-        # reflects device throughput, not the relay round trip (the server's
-        # DecodeWorker likewise overlaps decode dispatch with streaming).
-        from collections import deque
-
-        def _dispatch():
-            out = codec._decode_pcm16_jit(codec.params, dev_codes)
-            try:
-                out.copy_to_host_async()
-            except Exception:
-                pass
-            return out
-
-        pend = deque(_dispatch() for _ in range(depth))
-        t0 = time.time()
-        for _ in range(reps):
-            pend.append(_dispatch())
-            _ = np.asarray(pend.popleft())
-        while pend:
-            _ = np.asarray(pend.popleft())
-        dec_s = (time.time() - t0) / (reps + depth)
-        log(f"[bench] codec window decode (12-frame window, pipelined): "
-            f"{dec_s*1e3:.1f} ms")
-        # fold codec cost into the batch-1 RTF (decode shares the chip)
-        rtf_1_total = rtf_1 + dec_s / (12 * FRAME_SECONDS)
+        if time_left() < 90:
+            raise TimeoutError(f"codec leg skipped: {time_left():.0f}s left < 90s")
+        dec_s = bench_codec(smoke)
+        log(f"codec window decode (12-frame window, pipelined): {dec_s*1e3:.1f} ms")
+        rtf_total = rtf_1 + dec_s / (12 * FRAME_SECONDS)
+        result["value"] = round(rtf_total, 4)
+        result["vs_baseline"] = round(BASELINE_RTF / rtf_total, 3)
+    except TimeoutError as e:
+        log(str(e))
     except Exception as e:
-        log(f"[bench] codec bench skipped: {e}")
-        rtf_1_total = rtf_1
+        log(f"codec bench skipped: {e}")
 
-    result = {
-        "metric": "rtf_1p7b_batch1_streaming",
-        "value": round(rtf_1_total, 4),
-        "unit": "rtf (generation_time / audio_time; lower is better)",
-        "vs_baseline": round(BASELINE_RTF / rtf_1_total, 3),
-    }
     print(json.dumps(result), flush=True)
+    log(f"done in {time.time()-T_START:.0f}s")
 
 
 if __name__ == "__main__":

@@ -47,34 +47,49 @@ class TTSEngine:
         predictor_params: dict,
         tts_pad_embed: Optional[np.ndarray] = None,
         num_kvcache_blocks: Optional[int] = None,
+        mesh=None,  # jax.sharding.Mesh; also built from tensor_parallel_size
+        # / data_parallel_size by the Runner when left None
     ):
         self.cfg = engine_config
         self.mcfg = model_config
-        if engine_config.fuse_matmuls:
-            from nano_qwen3tts_tpu.models.transformer import fuse_layer_stack
-
-            talker_params = dict(
-                talker_params, layers=fuse_layer_stack(talker_params["layers"])
-            )
-            predictor_params = dict(
-                predictor_params,
-                layers=fuse_layer_stack(predictor_params["layers"]),
-            )
-        if engine_config.quantization == "int8":
-            from nano_qwen3tts_tpu.ops.quant import (
-                quantize_predictor_params,
-                quantize_talker_params,
-            )
+        if engine_config.fuse_matmuls or engine_config.quantization == "int8":
+            # Fuse + quantize as ONE jitted program: done eagerly these are
+            # dozens of tiny device programs, each a compile + round trip —
+            # minutes of engine-build time on a remote-relay backend (the
+            # round-1 driver bench timeout). One program also means one
+            # persistent-compile-cache entry, so repeat builds skip it.
+            import jax
 
             mode = os.environ.get("INT8_MODE", "w8a8")
-            talker_params = quantize_talker_params(talker_params, mode)
-            predictor_params = quantize_predictor_params(predictor_params, mode)
+
+            def _prepare(tp, pp):
+                if engine_config.fuse_matmuls:
+                    from nano_qwen3tts_tpu.models.transformer import (
+                        fuse_layer_stack,
+                    )
+
+                    tp = dict(tp, layers=fuse_layer_stack(tp["layers"]))
+                    pp = dict(pp, layers=fuse_layer_stack(pp["layers"]))
+                if engine_config.quantization == "int8":
+                    from nano_qwen3tts_tpu.ops.quant import (
+                        quantize_predictor_params,
+                        quantize_talker_params,
+                    )
+
+                    tp = quantize_talker_params(tp, mode)
+                    pp = quantize_predictor_params(pp, mode)
+                return tp, pp
+
+            talker_params, predictor_params = jax.jit(_prepare)(
+                talker_params, predictor_params
+            )
         self.runner = Runner(
             engine_config,
             model_config,
             talker_params,
             predictor_params,
             num_kvcache_blocks=num_kvcache_blocks,
+            mesh=mesh,
         )
         self.scheduler = Scheduler(
             engine_config, num_kvcache_blocks=self.runner.num_blocks

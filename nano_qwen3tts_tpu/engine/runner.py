@@ -80,10 +80,28 @@ class Runner:
         predictor_params: dict,
         num_kvcache_blocks: Optional[int] = None,
         trail_pool_len: Optional[int] = None,
+        mesh=None,
     ):
         self.cfg = engine_config
         self.mcfg = model_config
         tc = model_config.talker_config
+        # Mesh-aware serving (reference runs TP through its whole stack via
+        # per-rank NCCL processes, engine/model_runner/base.py:24-120 and
+        # layers/linear.py:131-153; here one GSPMD program spans the mesh).
+        # Built from EngineConfig.tensor_parallel_size/data_parallel_size
+        # when not passed explicitly.
+        if mesh is None and (
+            engine_config.tensor_parallel_size > 1
+            or engine_config.data_parallel_size > 1
+        ):
+            from nano_qwen3tts_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(
+                data=engine_config.data_parallel_size,
+                model=engine_config.tensor_parallel_size,
+            )
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self._data_size = int(self.mesh.shape["data"]) if self.mesh else 1
         self.tspec: AttnSpec = talker_spec(tc)
         self.pspec: AttnSpec = predictor_spec(tc.code_predictor_config)
         if engine_config.unroll_layers:
@@ -104,7 +122,17 @@ class Runner:
 
         impl = engine_config.attention_impl
         on_tpu = jax.default_backend() not in ("cpu",)
-        if impl in ("auto", "burst") and on_tpu:
+        if impl == "burst" and self.mesh is not None:
+            # The whole-stack talker burst kernel owns its flat KV layout and
+            # in-kernel DMA writes — it cannot run under a GSPMD sharding.
+            # "auto" falls back silently below; an explicit request fails
+            # loudly instead of silently serving a different kernel.
+            raise ValueError(
+                "attention_impl='burst' is single-device only; use "
+                "attention_impl='auto' (falls back to the per-layer pallas/"
+                "xla paths on a mesh) or a 1-device mesh"
+            )
+        if impl in ("auto", "burst") and on_tpu and self.mesh is None:
             # whole-stack Pallas talker kernel: requires the padded-head
             # weight layout (built once here), int8 KV, and one cache block
             # per lane (kvcache_block_size == max_model_len). "auto" prefers
@@ -139,8 +167,14 @@ class Runner:
             pimpl = (
                 "pallas"
                 if jax.default_backend() not in ("cpu",)
+                and self.mesh is None  # VMEM-resident kernel: single device
                 and supports_burst(predictor_params, self.pspec)
                 else "xla"
+            )
+        elif pimpl == "pallas" and self.mesh is not None:
+            raise ValueError(
+                "predictor_impl='pallas' (VMEM-resident burst kernel) is "
+                "single-device only; use 'auto' or 'xla' on a mesh"
             )
         self.predictor_impl = pimpl
         self.num_blocks = num_kvcache_blocks or self._auto_num_blocks()
@@ -161,12 +195,46 @@ class Runner:
                 jnp.bfloat16 if self.dtype == jnp.bfloat16 else self.dtype,
             )
 
+        self._repl = None
+        if self.mesh is not None:
+            # Place weights + caches under the TP plan (parallel/sharding.py,
+            # the GSPMD realization of reference config.py:273-281); GSPMD
+            # derives the psum/all-gather collectives the reference issues
+            # explicitly (layers/linear.py:151-153, embed_head.py:56-66).
+            from jax.sharding import NamedSharding, PartitionSpec
+            from nano_qwen3tts_tpu.parallel.sharding import (
+                apply_shardings,
+                kv_cache_sharding,
+                predictor_shardings,
+                quantized_kv_sharding,
+                talker_shardings,
+            )
+
+            self._repl = NamedSharding(self.mesh, PartitionSpec())
+            self.tparams = talker_params = apply_shardings(
+                talker_params, talker_shardings(self.mesh, tc), self.mesh
+            )
+            self.pparams = predictor_params = apply_shardings(
+                predictor_params,
+                predictor_shardings(self.mesh, tc.code_predictor_config),
+                self.mesh,
+            )
+            kv_sh = (
+                quantized_kv_sharding(self.mesh, tc.num_key_value_heads)
+                if engine_config.kv_cache_dtype == "int8"
+                else kv_cache_sharding(self.mesh, tc.num_key_value_heads)
+            )
+            self.k_cache = jax.device_put(self.k_cache, kv_sh)
+            self.v_cache = jax.device_put(self.v_cache, kv_sh)
+
         # Pools (row 0 = garbage lane).
         self.P = engine_config.max_active_streams + 1
         self.Lt = trail_pool_len or engine_config.max_model_len
         self.tts_pad_vec = None  # set via set_tts_pad (prep layer provides it)
-        self.embed_pool = jnp.zeros((self.P, self.D), self.dtype)
-        self.trail_pool = jnp.zeros((self.P, self.Lt, self.D), self.dtype)
+        self.embed_pool = self._place(jnp.zeros((self.P, self.D), self.dtype))
+        self.trail_pool = self._place(
+            jnp.zeros((self.P, self.Lt, self.D), self.dtype)
+        )
         self._free_pool_slots = list(range(1, self.P))
 
         self.base_key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
@@ -221,6 +289,30 @@ class Runner:
         return max(n, 8)
 
     # ------------------------------------------------------------------
+    # device placement (mesh-aware)
+    # ------------------------------------------------------------------
+
+    def _place(self, x):
+        """Replicate a device-resident array over the mesh (no-op 1-device)."""
+        return jax.device_put(x, self._repl) if self._repl is not None else x
+
+    def _put_batch(self, x, dtype=None, batch_dim: int = 0):
+        """Upload a host array, sharding its batch dim over the mesh "data"
+        axis when it divides evenly (batch bucket 1 on data>1: replicate)."""
+        arr = jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
+        if self.mesh is None:
+            return arr
+        if self._data_size > 1 and arr.shape[batch_dim] % self._data_size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = [None] * arr.ndim
+            spec[batch_dim] = "data"
+            return jax.device_put(
+                arr, NamedSharding(self.mesh, PartitionSpec(*spec))
+            )
+        return jax.device_put(arr, self._repl)
+
+    # ------------------------------------------------------------------
     # pool management
     # ------------------------------------------------------------------
 
@@ -232,9 +324,11 @@ class Runner:
         permanently and per-request writes only touch real trailing rows.
         """
         self.tts_pad_vec = jnp.asarray(tts_pad, self.dtype).reshape(self.D)
-        self.trail_pool = jnp.broadcast_to(
-            self.tts_pad_vec, (self.P, self.Lt, self.D)
-        ).astype(self.dtype)
+        self.trail_pool = self._place(
+            jnp.broadcast_to(self.tts_pad_vec, (self.P, self.Lt, self.D)).astype(
+                self.dtype
+            )
+        )
         # embed pool rows start at zero; they are always written before read.
 
     def acquire_pool_slot(self, trailing: Optional[np.ndarray]) -> int:
@@ -340,8 +434,9 @@ class Runner:
         self.k_cache, self.v_cache, self.embed_pool, frame = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
-            jnp.asarray(embeds, self.dtype), jnp.asarray(meta),
-            jnp.asarray(temps), jnp.asarray(np.int32(self._step_counter)),
+            self._put_batch(embeds, self.dtype), self._put_batch(meta),
+            self._put_batch(temps, batch_dim=1),
+            jnp.asarray(np.int32(self._step_counter)),
         )
         return np.asarray(frame)[:B]
 
@@ -370,12 +465,13 @@ class Runner:
             temps_p[i] = getattr(s, "predictor_temperature", 0.9)
 
         fn = self._decode_fn(bb)
+        pb = self._put_batch
         self.k_cache, self.v_cache, self.embed_pool, frame = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
-            jnp.asarray(pool_idx), jnp.asarray(positions), jnp.asarray(slots),
-            jnp.asarray(tables), jnp.asarray(kv_lens), jnp.asarray(step_idx),
-            jnp.asarray(temps_t), jnp.asarray(temps_p), self._next_key(),
+            pb(pool_idx), pb(positions), pb(slots),
+            pb(tables), pb(kv_lens), pb(step_idx),
+            pb(temps_t), pb(temps_p), self._next_key(),
         )
         return np.asarray(frame)[:B]
 
@@ -421,8 +517,8 @@ class Runner:
                 meta[i, 3 : 3 + nt] = s.block_table[:nt]
                 temps[0, i] = s.temperature
                 temps[1, i] = getattr(s, "predictor_temperature", 0.9)
-            meta_dev = jnp.asarray(meta)
-            temps_dev = jnp.asarray(temps)
+            meta_dev = self._put_batch(meta)
+            temps_dev = self._put_batch(temps, batch_dim=1)
         fn = self._decode_multi_fn(bb, n_frames)
         (
             self.k_cache, self.v_cache, self.embed_pool,
@@ -473,17 +569,18 @@ class Runner:
     def _warm_decode(self, bb: int):
         fn = self._decode_fn(bb)
         z = np.zeros
+        pb = self._put_batch
         self.k_cache, self.v_cache, self.embed_pool, _ = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
-            jnp.asarray(z(bb, dtype=np.int32)),
-            jnp.ones(bb, dtype=jnp.int32),
-            jnp.asarray(z(bb, dtype=np.int32)),
-            jnp.asarray(z((bb, self.NB), dtype=np.int32)),
-            jnp.ones(bb, dtype=jnp.int32),
-            jnp.asarray(z(bb, dtype=np.int32)),
-            jnp.ones(bb, dtype=jnp.float32),
-            jnp.full((bb,), 0.9, jnp.float32),
+            pb(z(bb, dtype=np.int32)),
+            pb(np.ones(bb, np.int32)),
+            pb(z(bb, dtype=np.int32)),
+            pb(z((bb, self.NB), dtype=np.int32)),
+            pb(np.ones(bb, np.int32)),
+            pb(z(bb, dtype=np.int32)),
+            pb(np.ones(bb, np.float32)),
+            pb(np.full((bb,), 0.9, np.float32)),
             self._next_key(),
         )
 
@@ -497,7 +594,8 @@ class Runner:
         ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
-            jnp.asarray(meta), jnp.ones((2, bb), jnp.float32),
+            self._put_batch(meta),
+            self._put_batch(np.ones((2, bb), np.float32), batch_dim=1),
             self._dev_key,
         )
         self.invalidate_step_cache()
@@ -510,7 +608,8 @@ class Runner:
         self.k_cache, self.v_cache, self.embed_pool, _ = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
-            jnp.asarray(np.zeros((bb, tb, self.D), np.float32), self.dtype),
-            jnp.asarray(meta), jnp.ones((2, bb), jnp.float32),
+            self._put_batch(np.zeros((bb, tb, self.D), np.float32), self.dtype),
+            self._put_batch(meta),
+            self._put_batch(np.ones((2, bb), np.float32), batch_dim=1),
             jnp.asarray(np.int32(self._step_counter)),
         )

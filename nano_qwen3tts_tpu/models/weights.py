@@ -97,12 +97,18 @@ def _init_layer_stack(
     return layers
 
 
-def init_talker_params(cfg: TalkerConfig, key, dtype=jnp.bfloat16) -> dict:
+def init_talker_params(
+    cfg: TalkerConfig, key, dtype=jnp.bfloat16, include_text: bool = True
+) -> dict:
+    """``include_text=False`` skips the (large) text-embedding table and
+    text projection — the serving frame loop never touches them (prompt prep
+    is host-side), and skipping them keeps a fully-jitted init program
+    small (bench.py builds weights on device in ONE jitted call)."""
     k0, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
     D = cfg.hidden_size
     d = cfg.actual_head_dim
     s = 0.02
-    return {
+    params = {
         "layers": _init_layer_stack(
             k0,
             cfg.num_hidden_layers,
@@ -118,14 +124,15 @@ def init_talker_params(cfg: TalkerConfig, key, dtype=jnp.bfloat16) -> dict:
         "codec_embedding": (
             _randn(k1, (cfg.vocab_size, D)) * s
         ).astype(dtype),
-        "text_embedding": (
-            _randn(k2, (cfg.text_vocab_size, cfg.text_hidden_size))
-            * s
-        ).astype(dtype),
         "codec_head_w": (
             _randn(k3, (D, cfg.vocab_size)) * s
         ).astype(dtype),
-        "text_projection": {
+    }
+    if include_text:
+        params["text_embedding"] = (
+            _randn(k2, (cfg.text_vocab_size, cfg.text_hidden_size)) * s
+        ).astype(dtype)
+        params["text_projection"] = {
             "fc1_w": (
                 _randn(k4, (cfg.text_hidden_size, cfg.text_hidden_size))
                 * s
@@ -135,8 +142,8 @@ def init_talker_params(cfg: TalkerConfig, key, dtype=jnp.bfloat16) -> dict:
                 _randn(k5, (cfg.text_hidden_size, D)) * s
             ).astype(dtype),
             "fc2_b": jnp.zeros((D,), dtype),
-        },
-    }
+        }
+    return params
 
 
 def init_predictor_params(cfg: CodePredictorConfig, key, dtype=jnp.bfloat16) -> dict:

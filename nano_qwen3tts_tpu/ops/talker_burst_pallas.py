@@ -321,21 +321,14 @@ def _stack_kernel(
     del _init, _prefetch, _emit
 
 
-def _pad_cols_int8(wq, ws, H, d):
-    """Pad each head's d output-channel block to DP lanes (zero cols)."""
-    O = wq.shape[0]
-    wq3 = np.asarray(wq).reshape(O, H, d)
-    ws2 = np.asarray(ws).reshape(H, d)
-    wq_p = np.zeros((O, H, DP), np.int8)
-    ws_p = np.ones((H, DP), np.float32)
-    wq_p[:, :, :d] = wq3
-    ws_p[:, :d] = ws2
-    return wq_p.reshape(O, H * DP), ws_p.reshape(H * DP)
-
-
 def make_burst_params(params: dict, spec: AttnSpec) -> dict | None:
-    """Precompute the padded-head kernel weight layout (host-side, once at
-    engine build). Returns None if the layout is unsupported."""
+    """Precompute the padded-head kernel weight layout. Returns None if the
+    layout is unsupported.
+
+    Runs as ONE jitted device program (weights never leave the device):
+    built eagerly/host-side this was ~60 per-layer device round trips, which
+    through a remote-relay backend cost minutes of engine-build time (the
+    round-1 driver bench timeout)."""
     from nano_qwen3tts_tpu.ops.quant import QuantizedWeight
 
     lay = params["layers"]
@@ -348,33 +341,46 @@ def make_burst_params(params: dict, spec: AttnSpec) -> dict | None:
         return None
     Hq, Hkv, d = spec.num_heads, spec.num_kv_heads, spec.head_dim
     nq, nkv = Hq * d, Hkv * d
-    L = lay["input_layernorm"].shape[0]
     qkv, o_w = lay["qkv_w"], lay["o_w"]
+    pad = DP - d
 
-    qkv_qp, qkv_sp, o_qp = [], [], []
-    for l in range(L):
-        wq = np.asarray(qkv.q[l])  # [D, nq+2nkv]
-        ws = np.asarray(qkv.s[l])
-        parts_q, parts_s = [], []
-        for (lo, hi, H) in ((0, nq, Hq), (nq, nq + nkv, Hkv), (nq + nkv, nq + 2 * nkv, Hkv)):
-            pq, ps = _pad_cols_int8(wq[:, lo:hi], ws[lo:hi], H, d)
-            parts_q.append(pq)
-            parts_s.append(ps)
-        qkv_qp.append(np.concatenate(parts_q, axis=1))
-        qkv_sp.append(np.concatenate(parts_s))
-        # o_w: zero ROWS at pad positions ([nq, D] -> [Hq*DP, D])
-        ow = np.asarray(o_w.q[l]).reshape(Hq, d, -1)
-        ow_p = np.zeros((Hq, DP, ow.shape[-1]), np.int8)
-        ow_p[:, :d] = ow
-        o_qp.append(ow_p.reshape(Hq * DP, -1))
+    def _build(qkv_q, qkv_s, o_q, q_norm, k_norm):
+        L = qkv_q.shape[0]
 
-    from nano_qwen3tts_tpu.ops.quant import QuantizedWeight as QW
+        def pad_group(lo, n_heads):  # cols [L, D, H*d] -> [L, D, H*DP]
+            g = jax.lax.dynamic_slice_in_dim(qkv_q, lo, n_heads * d, axis=2)
+            g = g.reshape(L, -1, n_heads, d)
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            return g.reshape(L, -1, n_heads * DP)
 
-    def _pad_vec(v):  # [d] norm weight -> [DP] (pad lanes zero)
-        out = np.zeros(DP, v.dtype)
-        out[:d] = np.asarray(v)
-        return out
+        def pad_scale(lo, n_heads):  # [L, H*d] -> [L, H*DP], pad lanes = 1
+            s = jax.lax.dynamic_slice_in_dim(qkv_s, lo, n_heads * d, axis=1)
+            s = s.reshape(L, n_heads, d)
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+            return s.reshape(L, n_heads * DP)
 
+        qkv_qp = jnp.concatenate(
+            [pad_group(0, Hq), pad_group(nq, Hkv), pad_group(nq + nkv, Hkv)],
+            axis=2,
+        )
+        qkv_sp = jnp.concatenate(
+            [pad_scale(0, Hq), pad_scale(nq, Hkv), pad_scale(nq + nkv, Hkv)],
+            axis=1,
+        )
+        # o_w: zero ROWS at pad positions ([L, nq, D] -> [L, Hq*DP, D])
+        ow = o_q.reshape(L, Hq, d, -1)
+        ow_p = jnp.pad(ow, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        o_qp = ow_p.reshape(L, Hq * DP, -1)
+        # [L, d] norm weights -> [L, DP] (pad lanes zero)
+        qn = jnp.pad(q_norm.astype(jnp.bfloat16), ((0, 0), (0, pad)))
+        kn = jnp.pad(k_norm.astype(jnp.bfloat16), ((0, 0), (0, pad)))
+        return qkv_qp, qkv_sp, o_qp, qn, kn
+
+    qkv_qp, qkv_sp, o_qp, qn, kn = jax.jit(_build)(
+        qkv.q, qkv.s, o_w.q, lay["q_norm"], lay["k_norm"]
+    )
+
+    # Position-independent constants: built host-side (no device data).
     inv = 1.0 / (
         np.float32(spec.rope_theta)
         ** (np.arange(0, d, 2, dtype=np.float32) / np.float32(d))
@@ -391,13 +397,13 @@ def make_burst_params(params: dict, spec: AttnSpec) -> dict | None:
         for j in range(d):
             epad[g * d + j, g * DP + j] = 1.0
 
-    qn = np.stack([_pad_vec(np.asarray(lay["q_norm"][l])) for l in range(L)])
-    kn = np.stack([_pad_vec(np.asarray(lay["k_norm"][l])) for l in range(L)])
+    from nano_qwen3tts_tpu.ops.quant import QuantizedWeight as QW
+
     return {
-        "qkv_w": QW(jnp.asarray(np.stack(qkv_qp)), jnp.asarray(np.stack(qkv_sp)), "w8a8"),
-        "o_w": QW(jnp.asarray(np.stack(o_qp)), o_w.s, "w8a8"),
-        "q_norm": jnp.asarray(qn, jnp.bfloat16),
-        "k_norm": jnp.asarray(kn, jnp.bfloat16),
+        "qkv_w": QW(qkv_qp, qkv_sp, "w8a8"),
+        "o_w": QW(o_qp, o_w.s, "w8a8"),
+        "q_norm": qn,
+        "k_norm": kn,
         "inv_freq": jnp.asarray(inv_p[None, :]),
         "rot": jnp.asarray(rot, jnp.bfloat16),
         "epad": jnp.asarray(epad, jnp.bfloat16),

@@ -108,8 +108,24 @@ def quantized_kv_sharding(mesh: Mesh, num_kv_heads: int):
     return QuantizedKV(_ns(mesh, None, None, kv), _ns(mesh))
 
 
+def quantized_weight_shardings(rule: NamedSharding, mesh: Mesh):
+    """Derive (q, s) shardings for an ops.quant.QuantizedWeight from the
+    bf16 weight's rule: ``q [.., K, N]`` keeps the rule's spec, ``s [.., N]``
+    drops the contraction axis (so per-output-channel scales follow the
+    out-dim sharding of their weight)."""
+    spec = tuple(rule.spec)
+    s_spec = P(*(spec[:-2] + spec[-1:])) if len(spec) >= 2 else P()
+    return rule, NamedSharding(mesh, s_spec)
+
+
 def apply_shardings(tree: dict, shardings: dict, mesh: Mesh):
-    """device_put each leaf with its rule (missing rules -> replicated)."""
+    """device_put each leaf with its rule (missing rules -> replicated).
+
+    Handles ops.quant.QuantizedWeight leaves: the bf16 rule written for the
+    plain weight is split into (q, s) rules, so the same sharding tables
+    serve bf16 and int8 engines."""
+    from nano_qwen3tts_tpu.ops.quant import QuantizedWeight
+
     repl = NamedSharding(mesh, P())
 
     def rec(t, s):
@@ -118,6 +134,15 @@ def apply_shardings(tree: dict, shardings: dict, mesh: Mesh):
             rule = s.get(k) if isinstance(s, dict) else None
             if isinstance(v, dict):
                 out[k] = rec(v, rule if isinstance(rule, dict) else {})
+            elif isinstance(v, QuantizedWeight):
+                if not isinstance(rule, NamedSharding):
+                    rule = repl
+                q_rule, s_rule = quantized_weight_shardings(rule, mesh)
+                out[k] = QuantizedWeight(
+                    jax.device_put(v.q, q_rule),
+                    jax.device_put(v.s, s_rule),
+                    v.mode,
+                )
             else:
                 if not isinstance(rule, NamedSharding):
                     rule = repl

@@ -21,7 +21,10 @@ def test_dryrun_multichip_subprocess():
     # which must not interfere with this process's initialized CPU backend.
     r = subprocess.run(
         [sys.executable, "/root/repo/__graft_entry__.py"],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "decode frame step OK" in r.stdout
+    # both engines (bf16 + production int8) served frames through
+    # TTSEngine.step() on the (data=2, model=4) mesh
+    assert "bf16 engine" in r.stdout and "OK" in r.stdout
+    assert "int8 engine (burst->fallback)" in r.stdout
