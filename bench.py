@@ -170,7 +170,7 @@ def run_stream(engine, tc, batch: int, n_frames: int, prompt_len: int = 64):
             continue
         empty = 0
         step_times.append(time.time() - t0)
-        frames_per_step.append(sum(1 for _, f, _ in res if f is not None))
+        frames_per_step.append(sum(1 for _, f, _ in res if isinstance(f, list)))
     if not step_times:
         return float("inf")
     # per-stream seconds per frame = median of (step time / frames-per-stream)

@@ -177,7 +177,12 @@ class Runner:
                 "single-device only; use 'auto' or 'xla' on a mesh"
             )
         self.predictor_impl = pimpl
-        self.num_blocks = num_kvcache_blocks or self._auto_num_blocks()
+        self.num_blocks = (
+            num_kvcache_blocks
+            or (engine_config.num_kvcache_blocks
+                if engine_config.num_kvcache_blocks > 0 else None)
+            or self._auto_num_blocks()
+        )
         if engine_config.kv_cache_dtype == "int8":
             from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache_int8
 

@@ -38,6 +38,9 @@ class Scheduler:
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.request_id_to_seq: dict[str, Sequence] = {}
+        # Live streams evicted under block pressure; the engine drains this
+        # and surfaces each as a request failure (see preempt()).
+        self.preempted_failures: list[Sequence] = []
 
     @staticmethod
     def _make_block_manager(n_blocks: int, block_size: int):
@@ -138,18 +141,30 @@ class Scheduler:
         return scheduled, False
 
     def preempt(self, seq: Sequence):
-        """Evict a sequence back to WAITING, dropping its KV.
+        """Evict a sequence when blocks run out.
 
-        NOTE (same caveat as the reference): a preempted caller-driven
-        sequence restarts from its *prompt* embeddings; frames already
-        yielded are not re-derivable, so the engine treats preemption of a
-        live stream as a request failure and surfaces it (reference silently
-        regenerates, which desynchronizes the stream — scheduler.py:68-71).
+        A sequence that has not yielded any frame yet restarts cleanly from
+        its prompt embeddings (back to WAITING). A LIVE stream cannot: its
+        already-yielded frames are not re-derivable, so it is finished and
+        recorded in ``preempted_failures`` — the engine surfaces it to the
+        client as a request failure. (The reference silently regenerates
+        from the prompt instead, which desynchronizes the stream —
+        reference scheduler.py:68-71.)
         """
+        if seq.request_id is not None and seq.frames_emitted > 0:
+            seq.status = SequenceStatus.FINISHED
+            self.request_id_to_seq.pop(seq.request_id, None)
+            self.block_manager.deallocate(seq.block_table)
+            self.preempted_failures.append(seq)
+            return
         seq.status = SequenceStatus.WAITING
         seq.decode_input_embeds = None
         self.block_manager.deallocate(seq.block_table)
         self.waiting.appendleft(seq)
+
+    def drain_preempted(self) -> list[Sequence]:
+        out, self.preempted_failures = self.preempted_failures, []
+        return out
 
     # -- postprocess --------------------------------------------------------
 

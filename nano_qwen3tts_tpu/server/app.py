@@ -376,6 +376,17 @@ class TTSServer:
                 await writer.drain()
             except (ConnectionResetError, BrokenPipeError):
                 logger.info("client disconnected mid-stream")
+            except Exception as e:
+                # Engine-side failure (e.g. engine.RequestError after
+                # persistent step failures, or preemption under block
+                # pressure): abort the chunked stream WITHOUT the terminal
+                # 0-chunk so the client observes a clean transport error
+                # instead of hanging or silently treating a truncated
+                # stream as complete.
+                logger.error("stream %s aborted after %d chunks: %s",
+                             req.get("input", "")[:32], n, e)
+                writer.close()
+                return
             logger.info(
                 "stream done: %d chunks in %.2fs", n, time.time() - t0
             )

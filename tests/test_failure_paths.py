@@ -1,0 +1,173 @@
+"""Failure propagation: clients must unblock, never hang or desync.
+
+Round-1 VERDICT missing #3 / weak #4/#6:
+* a persistently failing engine step must resolve every live request with
+  an error (reference workers push an error result so the main process
+  never hangs — workers/talker_worker.py:139-144);
+* preemption of a live stream under KV block pressure must surface as a
+  clean per-request failure (the reference silently regenerates from the
+  prompt, desynchronizing the stream — reference scheduler.py:68-71);
+* the HTTP client must observe a transport-level error, not a hang and not
+  a silently-truncated "complete" stream.
+"""
+
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+from nano_qwen3tts_tpu.engine.engine import RequestError, TTSEngine
+from nano_qwen3tts_tpu.models.weights import (
+    init_predictor_params,
+    init_talker_params,
+)
+
+CFG = preset_config("tiny")
+TC = CFG.talker_config
+
+
+def make_engine(num_blocks=64, **ecfg_kw):
+    base = dict(
+        max_model_len=64,
+        kvcache_block_size=16,
+        decode_buckets=(1, 2, 4),
+        prefill_buckets=(32, 64),
+        max_active_streams=4,
+        frames_per_step=1,
+        max_num_batched_tokens=1024,
+    )
+    base.update(ecfg_kw)
+    tparams = init_talker_params(TC, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tparams.pop("text_embedding")
+    tparams.pop("text_projection")
+    pparams = init_predictor_params(
+        TC.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.float32
+    )
+    return TTSEngine(
+        EngineConfig(**base), CFG, tparams, pparams,
+        tts_pad_embed=np.zeros(TC.hidden_size, np.float32),
+        num_kvcache_blocks=num_blocks,
+    )
+
+
+def prompt(rng, n=20):
+    return (rng.standard_normal((n, TC.hidden_size)) * 0.3).astype(np.float32)
+
+
+def test_persistent_step_failure_unblocks_async_clients(rng):
+    """After max_step_failures consecutive step exceptions, every waiting
+    client gets a RequestError instead of awaiting forever."""
+    engine = make_engine()
+    engine.max_step_failures = 2
+
+    def boom():
+        raise RuntimeError("injected device failure")
+
+    engine._step_inner = boom
+
+    async def go():
+        await engine.start()
+        with pytest.raises(RequestError, match="persistently"):
+            async for _ in engine.generate_async(prompt(rng), max_frames=4):
+                pass
+        await engine.stop()
+
+    asyncio.run(go())
+    assert not engine.scheduler.request_id_to_seq  # state fully cleared
+    assert not engine._pending
+
+
+def test_engine_recovers_after_failure_burst(rng):
+    """A failure burst fails its requests but the engine keeps serving new
+    ones once the fault clears."""
+    engine = make_engine()
+    engine.max_step_failures = 1
+    real_step_inner = engine._step_inner
+
+    def boom():
+        raise RuntimeError("transient fault")
+
+    async def go():
+        engine._step_inner = boom
+        with pytest.raises(RequestError):
+            async for _ in engine.generate_async(prompt(rng), max_frames=4):
+                pass
+        engine._step_inner = real_step_inner  # fault clears
+        frames = []
+        async for f in engine.generate_async(
+            prompt(rng), max_frames=3, ignore_eos=True
+        ):
+            frames.append(f)
+        return frames
+
+    async def main():
+        await engine.start()
+        try:
+            return await go()
+        finally:
+            await engine.stop()
+
+    frames = asyncio.run(main())
+    assert len(frames) == 3 and all(len(f) == 16 for f in frames)
+
+
+def test_preempted_live_stream_fails_cleanly(rng):
+    """Block exhaustion mid-decode: the evicted live stream gets a
+    RequestError result; survivors keep streaming frames."""
+    # 7 blocks: garbage(1) + 2 prompts x 2 blocks(17 tokens) + 2 spare.
+    # Both streams decode past their block boundary -> blocks run out ->
+    # the scheduler must evict one LIVE stream.
+    engine = make_engine(num_blocks=7)
+    rids = [
+        engine.add_request(prompt(rng, 31), max_frames=40, ignore_eos=True)
+        for _ in range(2)
+    ]
+    failed, frames = {}, {r: 0 for r in rids}
+    for _ in range(100):
+        if not engine.has_work():
+            break
+        for rid, frame, fin in engine.step():
+            if isinstance(frame, Exception):
+                failed[rid] = frame
+            elif frame is not None:
+                frames[rid] += 1
+        if failed:
+            break
+    assert len(failed) == 1, f"expected exactly one preempted stream: {failed}"
+    (bad_rid, err), = failed.items()
+    assert isinstance(err, RequestError) and "preempted" in str(err)
+    assert frames[bad_rid] > 0  # it WAS live (had yielded frames)
+    # survivor still running and schedulable
+    good = [r for r in rids if r != bad_rid][0]
+    assert good in engine.scheduler.request_id_to_seq
+    before = frames[good]
+    for _ in range(3):
+        for rid, frame, _fin in engine.step():
+            if rid == good and isinstance(frame, list):
+                frames[good] += 1
+    assert frames[good] > before
+
+
+def test_fresh_request_preemption_restarts_cleanly(rng):
+    """A request that never yielded a frame may be preempted and silently
+    restarted (nothing was streamed, so a restart cannot desync)."""
+    from nano_qwen3tts_tpu.engine.scheduler import Scheduler
+    from nano_qwen3tts_tpu.engine.sequence import Sequence, SequenceStatus
+
+    cfg = EngineConfig(
+        max_model_len=64, kvcache_block_size=16, num_kvcache_blocks=4,
+        decode_buckets=(1, 2), prefill_buckets=(32,),
+    )
+    sched = Scheduler(cfg, num_kvcache_blocks=4)
+    seq = Sequence(
+        np.zeros((4, 8), np.float32), request_id="r0", block_size=16
+    )
+    seq.status = SequenceStatus.RUNNING
+    sched.request_id_to_seq["r0"] = seq
+    sched.preempt(seq)  # frames_emitted == 0
+    assert not sched.preempted_failures
+    assert sched.waiting and sched.waiting[0] is seq
+    assert "r0" in sched.request_id_to_seq

