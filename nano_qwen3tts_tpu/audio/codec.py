@@ -518,9 +518,14 @@ def load_codec(model_path: str) -> SpeechTokenizer:
     import os
 
     path = os.path.join(model_path, "codec.safetensors")
-    cfg = CodecConfig(
-        compute_dtype=os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
-    )
+    cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
+    if cdt not in ("float32", "bfloat16"):
+        # near-miss spellings ('bf16', 'fp32') would otherwise silently
+        # select the wrong compute path (ADVICE r1)
+        raise ValueError(
+            f"CODEC_COMPUTE_DTYPE={cdt!r}: use 'float32' or 'bfloat16'"
+        )
+    cfg = CodecConfig(compute_dtype=cdt)
     if os.path.exists(path):
         from safetensors import safe_open
 

@@ -87,14 +87,40 @@ class Qwen3TTSInterface:
 
     @classmethod
     def from_pretrained(cls, model_path: str, **kw) -> "Qwen3TTSInterface":
-        """Load from a checkpoint dir (HF-hub resolution of the reference,
-        interface.py:226-336, is out of scope in this zero-egress build —
-        pass a local path)."""
+        """Load from a checkpoint directory.
+
+        The reference resolves HF-hub ids by downloading a snapshot
+        (interface.py:226-336); this is a zero-egress build, so hub ids
+        fail fast with instructions instead of a confusing FileNotFound.
+        """
+        import os
+
+        if not os.path.isdir(model_path):
+            raise ValueError(
+                f"{model_path!r} is not a local checkpoint directory. This "
+                "is a zero-egress build without HF-hub download support "
+                "(reference interface.py:226-336): download the model "
+                "manually (e.g. `huggingface-cli download "
+                f"{model_path} --local-dir <dir>` on a connected machine) "
+                "and pass the local path."
+            )
         from nano_qwen3tts_tpu.audio.codec import load_codec
 
         inst = cls(model_path=model_path, **kw)
         if inst.speech_tokenizer is None:
             inst.speech_tokenizer = load_codec(model_path)
+        if inst.speaker_encoder is None:
+            # voice clone needs real ECAPA weights; load when present
+            # (speaker.safetensors via tools/convert_checkpoint.py, or
+            # speaker_encoder.* embedded in model.safetensors)
+            from nano_qwen3tts_tpu.audio.speaker import load_speaker_encoder
+
+            try:
+                inst.speaker_encoder = load_speaker_encoder(
+                    model_path, inst.model_config.speaker_encoder_config
+                )
+            except ValueError:
+                pass  # clone via precomputed prompts still works
         return inst
 
     # ------------------------------------------------------------------

