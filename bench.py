@@ -252,8 +252,12 @@ def main():
 
     n_frames = 16 if smoke else 64
     # ADVICE r1: clamp the diagnostic batch to what the engine can actually
-    # run concurrently and to a warmed decode bucket.
-    bmax = int(os.environ.get("BENCH_MAX_BATCH", "4" if smoke else "32"))
+    # run concurrently and to a warmed decode bucket. The >8 leg is opt-in
+    # (BENCH_MAX_BATCH=32): a cold compile of the batch-32 burst program
+    # takes >10 min through the relay AND blocks SIGTERM delivery (Python
+    # handlers cannot preempt a C-level XLA compile), so the driver-budget
+    # default only dispatches programs this repo keeps warm in the cache.
+    bmax = int(os.environ.get("BENCH_MAX_BATCH", "4" if smoke else "8"))
     bmax = min(bmax, engine.cfg.max_active_streams, engine.cfg.decode_buckets[-1])
     tb = engine.cfg.prefill_buckets[0]
     pb = engine.cfg.max_prefill_batch

@@ -199,7 +199,26 @@ class TTSServer:
         self.iface = interface
         self.s = settings or StreamSettings()
         self.registry = VoiceRegistry(voices_dir)
-        self.decoder = DecodeWorker(interface.speech_tokenizer)
+        # DECODER_PROC=1: host the codec in a dedicated OS process with its
+        # own device context (reference DECODER_MP_WORKER,
+        # examples/server.py:171-247) — the isolation option for pinning
+        # codec decode to another chip/host. DECODER_PROC_PLATFORM selects
+        # the child's JAX platform (e.g. "cpu" to keep the chip for the LM).
+        self._decoder_proc = None
+        codec_for_worker = interface.speech_tokenizer
+        if os.environ.get("DECODER_PROC") == "1":
+            from nano_qwen3tts_tpu.server.decoder_proc import DecoderProcess
+
+            self._decoder_proc = DecoderProcess(
+                interface.speech_tokenizer,
+                platform=os.environ.get("DECODER_PROC_PLATFORM") or None,
+            )
+            logger.info(
+                "codec decode in dedicated process (platform=%s)",
+                self._decoder_proc.platform,
+            )
+            codec_for_worker = self._decoder_proc
+        self.decoder = DecodeWorker(codec_for_worker)
         self._server: Optional[asyncio.AbstractServer] = None
         # DEBUG_SAVE_AUDIO=dir: dump each stream's PCM to a WAV
         # (reference server.py:103-130)
@@ -422,6 +441,8 @@ class TTSServer:
             await self._server.wait_closed()
             self._server = None
         await self.decoder.stop()
+        if self._decoder_proc is not None:
+            self._decoder_proc.stop()
         await self.iface.stop()
 
     async def serve_forever(self, host="0.0.0.0", port=8000):

@@ -251,3 +251,40 @@ def test_stream_under_block_pressure_errors_cleanly(pressure_iface):
     if "ok" in outcomes:
         ok = r1 if r1[0] == "ok" else r2
         assert ok[1] > 24000 * 0.05
+
+
+def test_decoder_process_bit_identical_and_server_integration(iface, monkeypatch):
+    """DECODER_PROC=1 hosts the codec in a dedicated OS process (reference
+    DECODER_MP_WORKER, examples/server.py:171-247): decode must be
+    bit-identical to in-process (exact weights ship to the child), and the
+    full HTTP stream must work through it."""
+    import numpy as np
+
+    from nano_qwen3tts_tpu.server.decoder_proc import DecoderProcess
+
+    codec = iface.speech_tokenizer
+    dec = DecoderProcess(codec, platform="cpu")
+    try:
+        codes = np.random.default_rng(0).integers(
+            0, codec.cfg.codebook_size, size=(2, 16, 8), dtype=np.int64
+        )
+        ref = codec.decode_pcm16(codes)
+        out = dec.decode_pcm16(codes)
+        assert len(ref) == len(out)
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+    finally:
+        dec.stop()
+
+    monkeypatch.setenv("DECODER_PROC", "1")
+    monkeypatch.setenv("DECODER_PROC_PLATFORM", "cpu")
+
+    async def go(port):
+        payload = {"input": "Through the decoder process", "voice": "Vivian",
+                   "language": "English"}
+        return await asyncio.to_thread(stream_speech, "127.0.0.1", port, payload)
+
+    wav, _stats = run_with_server(iface, go)
+    assert len(wav) >= 24000 * 0.05
+    assert np.abs(wav[: int(24000 * 0.05)]).max() == 0
+    assert (np.abs(wav[int(24000 * 0.05):]) > 0).any()
