@@ -94,11 +94,40 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
         help="force the CPU backend (this image pre-registers the TPU "
         "platform; plain JAX_PLATFORMS=cpu is overridden)",
     )
+    ap.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel size: shard weights/KV over a device mesh",
+    )
+    ap.add_argument(
+        "--dp", type=int, default=1,
+        help="data-parallel size: shard the batch dim over the mesh",
+    )
+    ap.add_argument(
+        "--virtual-devices", type=int, default=0,
+        help="with --cpu: present N virtual CPU devices (to exercise "
+        "--tp/--dp without TPU hardware)",
+    )
     return ap
 
 
 def maybe_force_cpu(args):
-    if getattr(args, "cpu", False):
+    n = getattr(args, "virtual_devices", 0)
+    if n:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n}"
+            ).strip()
+    if getattr(args, "cpu", False) or n:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+
+def engine_kw_from_args(args) -> dict:
+    kw = {}
+    if getattr(args, "tp", 1) > 1:
+        kw["tensor_parallel_size"] = args.tp
+    if getattr(args, "dp", 1) > 1:
+        kw["data_parallel_size"] = args.dp
+    return kw

@@ -11,7 +11,7 @@ streaming PCM live instead of waiting for the full waveform.
 import asyncio
 import logging
 
-from common import base_parser, build_interface, maybe_force_cpu
+from common import base_parser, build_interface, engine_kw_from_args, maybe_force_cpu
 
 
 def main():
@@ -25,7 +25,9 @@ def main():
 
     from nano_qwen3tts_tpu.server.app import TTSServer
 
-    iface = build_interface(args.model)
+    # --tp/--dp serve over a device mesh (--cpu --virtual-devices 8 --tp 4
+    # --dp 2 demonstrates it without TPU hardware)
+    iface = build_interface(args.model, engine_kw=engine_kw_from_args(args))
     server = TTSServer(iface, voices_dir=args.voices_dir)
     print(f"Voice-design UI: http://localhost:{args.port}/ui")
     asyncio.run(server.serve_forever(args.host, args.port))
