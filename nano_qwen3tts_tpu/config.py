@@ -65,7 +65,8 @@ class EngineConfig:
     # Token buckets for talker prefill (reference captures 256 CUDA graphs,
     # talker_mode_runner.py:194-234; we compile ~6 XLA programs instead).
     prefill_buckets: tuple[int, ...] = (64, 128, 256, 512, 1024)
-    # Weight quantization: None | "int8"
+    # Weight quantization: None | "int8" (w8a8/w8a16 via INT8_MODE) | "fp8"
+    # (float8_e4m3fn weight-only; north-star "INT8/FP8 weights")
     quantization: Optional[str] = None
     # Horizontally fuse q/k/v and gate/up into single matmuls at load
     # (the reference's QKVParallelLinear / MergedColumnParallelLinear,
@@ -121,8 +122,9 @@ class EngineConfig:
         assert self.max_num_batched_tokens >= self.max_model_len
         assert self.max_model_len % self.kvcache_block_size == 0
         if self.quantization is not None:
-            assert self.quantization in ("int8",), (
-                f"unsupported quantization {self.quantization!r} (use 'int8' or None)"
+            assert self.quantization in ("int8", "fp8"), (
+                f"unsupported quantization {self.quantization!r} "
+                "(use 'int8', 'fp8', or None)"
             )
         assert self.kv_cache_dtype in ("bf16", "int8"), (
             f"unsupported kv_cache_dtype {self.kv_cache_dtype!r} (use 'bf16' or 'int8')"

@@ -59,7 +59,7 @@ class TTSEngine:
     ):
         self.cfg = engine_config
         self.mcfg = model_config
-        if engine_config.fuse_matmuls or engine_config.quantization == "int8":
+        if engine_config.fuse_matmuls or engine_config.quantization:
             # Fuse + quantize as ONE jitted program: done eagerly these are
             # dozens of tiny device programs, each a compile + round trip —
             # minutes of engine-build time on a remote-relay backend (the
@@ -67,7 +67,11 @@ class TTSEngine:
             # persistent-compile-cache entry, so repeat builds skip it.
             import jax
 
-            mode = os.environ.get("INT8_MODE", "w8a8")
+            mode = (
+                "fp8"
+                if engine_config.quantization == "fp8"
+                else os.environ.get("INT8_MODE", "w8a8")
+            )
 
             def _prepare(tp, pp):
                 if engine_config.fuse_matmuls:
@@ -77,7 +81,7 @@ class TTSEngine:
 
                     tp = dict(tp, layers=fuse_layer_stack(tp["layers"]))
                     pp = dict(pp, layers=fuse_layer_stack(pp["layers"]))
-                if engine_config.quantization == "int8":
+                if engine_config.quantization:
                     from nano_qwen3tts_tpu.ops.quant import (
                         quantize_predictor_params,
                         quantize_talker_params,
@@ -112,7 +116,7 @@ class TTSEngine:
         self.stats = {
             "steps": 0, "prefills": 0, "frames_emitted": 0,
             "requests_started": 0, "requests_finished": 0,
-            "step_ms_ema": 0.0,
+            "requests_failed": 0, "step_ms_ema": 0.0,
         }
         self._queues: dict[str, asyncio.Queue] = {}
         self._loop_task: Optional[asyncio.Task] = None

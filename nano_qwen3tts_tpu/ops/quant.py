@@ -54,10 +54,22 @@ class QuantizedWeight:
 
 
 def quantize_weight(w: jax.Array, mode: str = "w8a8") -> QuantizedWeight:
-    """Per-output-channel symmetric int8 over the contraction axis."""
+    """Per-output-channel symmetric quantization over the contraction axis.
+
+    ``w8a8`` / ``w8a16``: int8 storage. ``fp8``: float8_e4m3fn storage
+    (north-star lists "INT8/FP8 weights"; v5e has no native fp8 MXU path so
+    fp8 dequantizes to bf16 in the dot fusion like w8a16 — same HBM
+    savings, different rounding profile; on fp8-native TPUs XLA lowers the
+    e4m3 dot directly)."""
     absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
-    scale = jnp.maximum(absmax / 127.0, 1e-8)  # [.., 1, N]
-    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    if mode == "fp8":
+        scale = jnp.maximum(absmax / 448.0, 1e-8)  # e4m3 max normal
+        q = (w.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    else:
+        scale = jnp.maximum(absmax / 127.0, 1e-8)  # [.., 1, N]
+        q = jnp.clip(
+            jnp.round(w.astype(jnp.float32) / scale), -127, 127
+        ).astype(jnp.int8)
     return QuantizedWeight(q, scale[..., 0, :].astype(jnp.float32), mode)
 
 
@@ -83,7 +95,8 @@ def int8_linear_w8a8(x: jax.Array, wq: QuantizedWeight) -> jax.Array:
 
 
 def quantized_linear(x: jax.Array, wq: QuantizedWeight) -> jax.Array:
-    if wq.mode == "w8a16":
+    if wq.mode in ("w8a16", "fp8"):
+        # weight-only: dequantize (int8 or e4m3) into the dot fusion
         return int8_linear_w8a16(x, wq)
     return int8_linear_w8a8(x, wq)
 

@@ -110,6 +110,60 @@ class TestInt8Quant:
         assert 1 <= len(frames) <= 4
         assert all(len(f) == 16 for f in frames)
 
+    def test_fp8_linear_close_to_f32(self, rng):
+        """fp8 (e4m3 weight-only) quantization: same surface as int8, looser
+        rounding (3 mantissa bits) but still close on well-scaled weights."""
+        import jax.numpy as jnp
+
+        from nano_qwen3tts_tpu.ops.quant import quantize_weight, quantized_linear
+
+        x = rng.standard_normal((8, 256)).astype(np.float32)
+        w = (rng.standard_normal((256, 512)) * 0.05).astype(np.float32)
+        want = x @ w
+        wq = quantize_weight(jnp.asarray(w), "fp8")
+        assert wq.q.dtype == jnp.float8_e4m3fn
+        got = np.asarray(quantized_linear(jnp.asarray(x), wq))
+        rel = np.abs(got - want).mean() / np.abs(want).mean()
+        assert rel < 0.05, rel
+
+    def test_fp8_engine_end_to_end(self, rng):
+        """quantization='fp8' serves frames (north-star: INT8/FP8 weights)."""
+        import jax
+        import jax.numpy as jnp
+
+        from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+        from nano_qwen3tts_tpu.engine.engine import TTSEngine
+        from nano_qwen3tts_tpu.models.weights import (
+            init_predictor_params,
+            init_talker_params,
+        )
+
+        cfg = preset_config("tiny")
+        tc = cfg.talker_config
+        tp = init_talker_params(tc, jax.random.PRNGKey(0), dtype=jnp.float32)
+        pp = init_predictor_params(
+            tc.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.float32
+        )
+        ecfg = EngineConfig(
+            max_model_len=64, kvcache_block_size=16, max_num_batched_tokens=1024,
+            max_active_streams=4, decode_buckets=(1, 2), prefill_buckets=(32, 64),
+            quantization="fp8", kv_cache_dtype="int8", frames_per_step=2,
+        )
+        eng = TTSEngine(ecfg, cfg, tp, pp,
+                        tts_pad_embed=np.zeros(tc.hidden_size, np.float32),
+                        num_kvcache_blocks=32)
+        from nano_qwen3tts_tpu.ops.quant import QuantizedWeight
+
+        gu = eng.runner.tparams["layers"]["gateup_w"]
+        assert isinstance(gu, QuantizedWeight) and gu.mode == "fp8"
+        import jax.numpy as _jnp
+
+        assert gu.q.dtype == _jnp.float8_e4m3fn
+        prompt = (rng.standard_normal((10, tc.hidden_size)) * 0.3).astype(np.float32)
+        frames = list(eng.generate(prompt, None, max_frames=4))
+        assert 1 <= len(frames) <= 4
+        assert all(len(f) == 16 for f in frames)
+
 
 def test_extend_attention_pallas_matches_xla(rng):
     """Attend-with-extension kernel == XLA fallback (interpret mode)."""
