@@ -58,18 +58,17 @@ def build_engine(smoke: bool):
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: repeat bench runs (and the driver run after
-    # this repo's own warming run) skip the remote XLA compiles entirely.
-    # min_compile_time 0: even fast-compiling programs pay a full relay
-    # round trip — persist everything.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    # Persistent compile cache with entry-point-stable keys: repeat bench
+    # runs (and the driver run after this repo's own warming run) skip the
+    # remote XLA compiles entirely. Crucially this also strips caller
+    # frames from Mosaic kernel payloads — without that, the driver's own
+    # invocation of this script from a different process/entry chain would
+    # recompile every burst program cold (round-1 timeout root cause).
+    from nano_qwen3tts_tpu.utils.compile_cache import (
+        enable_stable_compile_cache,
+    )
+
+    enable_stable_compile_cache()
 
     from nano_qwen3tts_tpu.config import EngineConfig, preset_config
     from nano_qwen3tts_tpu.engine.engine import TTSEngine

@@ -59,6 +59,15 @@ class TTSEngine:
     ):
         self.cfg = engine_config
         self.mcfg = model_config
+        # Persistent compile cache with entry-point-stable keys: without
+        # this, every distinct calling script recompiles every Pallas
+        # program (see utils/compile_cache.py). Opt out with
+        # NANO_TTS_NO_COMPILE_CACHE=1.
+        from nano_qwen3tts_tpu.utils.compile_cache import (
+            enable_stable_compile_cache,
+        )
+
+        enable_stable_compile_cache()
         if engine_config.fuse_matmuls or engine_config.quantization:
             # Fuse + quantize as ONE jitted program: done eagerly these are
             # dozens of tiny device programs, each a compile + round trip —
