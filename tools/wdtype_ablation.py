@@ -66,8 +66,11 @@ def build(quantization, int8_mode=None, kv="int8", attn="auto"):
         kvcache_block_size=1024 if attn == "auto" else 128,
         attention_impl=attn,
         max_active_streams=32,
-        decode_buckets=(1, 8, 16, 32),
-        prefill_buckets=(128,),
+        # MUST match bench.py's buckets: decode_buckets also set the prefill
+        # batch padding bucket (runner.run_prefill), so a different tuple
+        # silently recompiles every program instead of sharing bench's cache
+        decode_buckets=(1, 2, 4, 8, 16, 32),
+        prefill_buckets=(128, 256, 512, 1024),
         frames_per_step=8,
         unroll_layers=True,
         quantization=quantization,
@@ -96,7 +99,15 @@ def measure(engine, tc, batch):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import run_stream
 
-    engine.runner.warmup(decode_buckets=(batch,), prefill_shapes=[(1, 128)])
+    # warm the decode bucket AND the exact prefill program run_stream will
+    # dispatch: prefill chunks are capped at max_prefill_batch and padded to
+    # a decode bucket (engine/_run_batch + runner.run_prefill)
+    from nano_qwen3tts_tpu.engine.runner import _bucket
+
+    pb = _bucket(
+        min(batch, engine.cfg.max_prefill_batch), engine.cfg.decode_buckets
+    )
+    engine.runner.warmup(decode_buckets=(batch,), prefill_shapes=[(pb, 128)])
     s = run_stream(engine, tc, batch, FRAMES)
     return s
 
@@ -130,16 +141,22 @@ def main():
 
         gc.collect()
 
-    # production config first (most important numbers land before deadline)
-    leg("int8 w8a8 + burst", 8, quantization="int8")
-    leg("int8 w8a8 + burst", 16, quantization="int8")
-    leg("int8 w8a8 + burst", 32, quantization="int8")
-    leg("int8 w8a8 + burst", 1, quantization="int8")
-    # weight-format ablation at batch 8, per-layer attention paths
-    leg("bf16 (no quant)", 8, quantization=None, kv="bf16", attn="xla")
-    leg("int8 w8a16", 8, quantization="int8", int8_mode="w8a16", attn="xla")
-    leg("int8 w8a8 (xla attn)", 8, quantization="int8", attn="xla")
-    leg("fp8 e4m3 weight-only", 8, quantization="fp8", attn="xla")
+    # ABLATION_LEGS selects a subset: "batches", "formats", or "all"
+    # (cold burst-kernel compiles through the TPU relay cost many minutes,
+    # so splitting across two invocations is often necessary)
+    legs = os.environ.get("ABLATION_LEGS", "all")
+    if legs in ("all", "batches"):
+        # production config first (most important numbers land first)
+        leg("int8 w8a8 + burst", 8, quantization="int8")
+        leg("int8 w8a8 + burst", 16, quantization="int8")
+        leg("int8 w8a8 + burst", 32, quantization="int8")
+        leg("int8 w8a8 + burst", 1, quantization="int8")
+    if legs in ("all", "formats"):
+        # weight-format ablation at batch 8, per-layer attention paths
+        leg("bf16 (no quant)", 8, quantization=None, kv="bf16", attn="xla")
+        leg("int8 w8a16", 8, quantization="int8", int8_mode="w8a16", attn="xla")
+        leg("int8 w8a8 (xla attn)", 8, quantization="int8", attn="xla")
+        leg("fp8 e4m3 weight-only", 8, quantization="fp8", attn="xla")
 
     print("\n| config | batch | ms/frame-step | per-stream RTF | codec tok/s/chip | attn | predictor |")
     print("|---|---|---|---|---|---|---|")
