@@ -295,6 +295,13 @@ def main():
     except Exception as e:
         log(f"codec bench skipped: {e}")
 
+    # The primary metric is final here — print it NOW. The remaining legs
+    # are stderr diagnostics, and a driver SIGTERM that lands while a
+    # diagnostic leg is inside a C-level XLA compile cannot be handled
+    # until the compile returns (a follow-up SIGKILL would lose the JSON
+    # line entirely if we waited).
+    emit_result()
+
     try:
         # batch 8 (north-star diagnostic: 8 CCU < real time)
         if smoke or time_left() < 60:
