@@ -54,10 +54,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from nano_qwen3tts_tpu.utils.compile_cache import enable_stable_compile_cache
+
+    enable_stable_compile_cache()
 
     from nano_qwen3tts_tpu.config import preset_config
     from nano_qwen3tts_tpu.engine.fused_step import (

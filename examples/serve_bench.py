@@ -35,14 +35,9 @@ def build_1p7b_interface():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from nano_qwen3tts_tpu.utils.compile_cache import enable_stable_compile_cache
+
+    enable_stable_compile_cache()
 
     from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
     from nano_qwen3tts_tpu.config import EngineConfig, preset_config

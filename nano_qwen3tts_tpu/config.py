@@ -110,6 +110,16 @@ class EngineConfig:
     # of arrivals is chunked through warmed programs instead of lazily
     # compiling a (8,T) one mid-serve.
     max_prefill_batch: int = 2
+    # Data-sharded serving (the multi-host deployment shape, SCALING.md):
+    # per-shard KV/pool state under a manual-"data" shard_map with zero
+    # cross-data collectives; requests are pinned to a shard for life.
+    #   "auto"  — on whenever the mesh data axis > 1 (the only form whose
+    #             decode step has no cross-host traffic);
+    #   "force" — on even for a 1-device mesh (validates the shard_map
+    #             programs, incl. Pallas burst kernels per shard, on 1 chip);
+    #   "off"   — replicated-KV GSPMD form (testing/ablation only: forces
+    #             per-frame cross-data all-gathers of every KV write).
+    data_sharded: str = "auto"
 
     def __post_init__(self):
         # Power-of-two block size; (kv_heads, head_dim) are the tiled minor
@@ -133,6 +143,36 @@ class EngineConfig:
         assert self.predictor_impl in ("auto", "xla", "pallas")
         assert 1 <= self.frames_per_step <= 16
         assert 1 <= self.pipeline_depth <= 8
+        assert self.data_sharded in ("auto", "force", "off")
+        # Serve-time compile safety: decode batches larger than the biggest
+        # bucket are CHUNKED through warmed buckets (engine/_run_batch and
+        # _step_decode_multi cap each dispatch), never lazily compiled — but
+        # each extra chunk is an extra dispatch per frame, so warn when the
+        # config makes that the steady state. (Any program actually compiled
+        # outside the warmed set logs loudly: Runner._warn_lazy.)
+        if self.max_active_streams > self.decode_buckets[-1] * max(
+            1, self.data_parallel_size
+        ):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "max_active_streams=%d exceeds the largest decode bucket "
+                "(%d): full-pool decode runs as %d chunked dispatches per "
+                "frame step. Raise decode_buckets for single-dispatch "
+                "decode.",
+                self.max_active_streams, self.decode_buckets[-1],
+                -(-self.max_active_streams // self.decode_buckets[-1]),
+            )
+        if self.prefill_buckets[-1] < self.max_model_len:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "prefill_buckets[-1]=%d < max_model_len=%d: a prompt longer "
+                "than the largest bucket lazily compiles an unwarmed "
+                "prefill program at serve time (multi-minute stall through "
+                "a remote TPU).",
+                self.prefill_buckets[-1], self.max_model_len,
+            )
 
     @property
     def max_blocks_per_seq(self) -> int:

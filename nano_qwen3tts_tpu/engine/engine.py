@@ -112,7 +112,9 @@ class TTSEngine:
             mesh=mesh,
         )
         self.scheduler = Scheduler(
-            engine_config, num_kvcache_blocks=self.runner.num_blocks
+            engine_config,
+            num_kvcache_blocks=self.runner.num_blocks,
+            num_shards=self.runner.n_shards,
         )
         if tts_pad_embed is not None:
             self.runner.set_tts_pad(np.asarray(tts_pad_embed))
@@ -170,7 +172,7 @@ class TTSEngine:
             ignore_eos=ignore_eos,
         )
         seq.predictor_temperature = predictor_temperature
-        seq.pool_slot = self.runner.acquire_pool_slot(
+        seq.data_shard, seq.pool_slot = self.runner.acquire_slot(
             np.asarray(trailing_hiddens, np.float32)
             if trailing_hiddens is not None
             else None
@@ -181,7 +183,7 @@ class TTSEngine:
     def clear_request(self, request_id: str):
         seq = self.scheduler.request_id_to_seq.get(request_id)
         if seq is not None and seq.pool_slot > 0:
-            self.runner.release_pool_slot(seq.pool_slot)
+            self.runner.release_slot(seq.data_shard, seq.pool_slot)
             seq.pool_slot = -1
         self.scheduler.clear_request(request_id)
 
@@ -207,7 +209,7 @@ class TTSEngine:
         # result so the client gets a clean error, never a silent desync.
         for seq in self.scheduler.drain_preempted():
             if seq.pool_slot > 0:
-                self.runner.release_pool_slot(seq.pool_slot)
+                self.runner.release_slot(seq.data_shard, seq.pool_slot)
                 seq.pool_slot = -1
             logger.warning(
                 "request %s preempted under KV block pressure after %d "
@@ -288,7 +290,7 @@ class TTSEngine:
                 max_bucket, self.cfg.decode_buckets[-1], self.cfg.max_prefill_batch
             )
         else:
-            max_bucket = self.cfg.decode_buckets[-1]
+            max_bucket = self.runner.decode_dispatch_capacity
         chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]
         frames = np.concatenate(
             [
@@ -332,8 +334,8 @@ class TTSEngine:
         Falls back (returns False) if any lane would cross max_model_len or
         blocks run out — the caller then runs a single-frame step.
         """
-        bm = self.scheduler.block_manager
         for seq in seqs:
+            bm = self.scheduler.bm_for(seq)
             if seq.kv_len + n > self.cfg.max_model_len:
                 return False
             before = len(seq.block_table)
@@ -347,7 +349,7 @@ class TTSEngine:
         return True
 
     def _step_decode_multi(self, seqs: list[Sequence], n: int):
-        max_bucket = self.cfg.decode_buckets[-1]
+        max_bucket = self.runner.decode_dispatch_capacity
         chunks = [seqs[i : i + max_bucket] for i in range(0, len(seqs), max_bucket)]
         frames = np.concatenate(
             [self.runner.run_decode_multi(c, n) for c in chunks], axis=0
@@ -394,7 +396,7 @@ class TTSEngine:
     # ------------------------------------------------------------------
 
     def _step_decode_pipelined(self, seqs: list[Sequence], n: int):
-        if len(seqs) > self.cfg.decode_buckets[-1] or any(
+        if len(seqs) > self.runner.decode_dispatch_capacity or any(
             s.max_frames and s.frames_emitted + n > s.max_frames for s in seqs
         ):
             # oversized batch or a lane about to hit max_frames: take the
@@ -430,7 +432,7 @@ class TTSEngine:
         if pending is None:
             return []
         seqs, bases, frames_dev, n = pending
-        frames = np.asarray(frames_dev).transpose(1, 0, 2)  # [bb, n, 16]
+        frames = self.runner.frames_to_host(frames_dev, seqs)  # [B, n, 16]
         out = []
         for i, seq in enumerate(seqs):
             if seq.is_finished:
@@ -466,7 +468,7 @@ class TTSEngine:
 
     def _finish_seq(self, seq: Sequence):
         if seq.pool_slot > 0:
-            self.runner.release_pool_slot(seq.pool_slot)
+            self.runner.release_slot(seq.data_shard, seq.pool_slot)
             seq.pool_slot = -1
         if not seq.is_finished:
             self.scheduler.finish(seq)

@@ -195,3 +195,105 @@ def make_decode_multi_step(
         return k_cache, v_cache, embed_pool, meta, key, frames  # [N, B, 16]
 
     return multi_step
+
+
+# ---------------------------------------------------------------------------
+# Data-sharded serving steps (multi-host / multi-chip deployment shape)
+#
+# The production scaling form (SCALING.md): every piece of per-request
+# serving state — KV block pool, embed/trail pools, batch metadata, PRNG
+# key — carries a leading [n_data] shard dim and lives sharded over the
+# mesh "data" axis. The step runs under `jax.shard_map` with the data axis
+# MANUAL (each shard computes on its own [0]-indexed slice) and the model
+# axis left to GSPMD (TP collectives ride ICI inside a shard). KV writes,
+# attention, sampling, and pool updates are then shard-local by
+# construction: the compiled program contains ZERO cross-data collectives
+# (pinned by tests/test_engine_mesh.py via
+# parallel.distributed.collective_span_report), so the data axis scales
+# linearly across hosts. The scheduler gives each request a shard for its
+# lifetime (Sequence.data_shard).
+#
+# When the model axis is 1, each shard body is a single device, so the
+# single-chip Pallas burst kernels run unchanged inside the shard — the
+# dp-mesh engine keeps single-chip per-chip performance.
+#
+# This replaces the reference's per-process data parallelism (independent
+# server processes per GPU, SURVEY §2.10 DP row) with one logical engine
+# spanning hosts.
+# ---------------------------------------------------------------------------
+
+
+def _index0(tree):
+    """Drop the leading (size-1 inside shard_map) shard dim of every leaf."""
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+def _expand0(tree):
+    """Re-add the leading shard dim to every leaf."""
+    return jax.tree.map(lambda a: a[None], tree)
+
+
+def make_data_sharded_decode_multi_step(
+    tspec, pspec, block_size, trail_len, dtype, n_frames, mesh,
+    attn_impl="xla", predictor_impl="xla",
+):
+    """shard_map-wrapped ``make_decode_multi_step``: args/results carry a
+    leading [n_data] dim sharded over "data"; weights stay replicated on
+    "data" (GSPMD-sharded on "model")."""
+    from jax.sharding import PartitionSpec as P
+
+    local = make_decode_multi_step(
+        tspec, pspec, block_size, trail_len, dtype, n_frames,
+        attn_impl=attn_impl, predictor_impl=predictor_impl,
+    )
+
+    def sharded(tparams, pparams, kc, vc, pool, trail, meta, temps, keys):
+        kc2, vc2, pool2, meta2, key2, frames = local(
+            tparams, pparams, _index0(kc), _index0(vc), pool[0], trail[0],
+            meta[0], temps[0], keys[0],
+        )
+        return (
+            _expand0(kc2), _expand0(vc2), pool2[None], meta2[None],
+            key2[None], frames[None],
+        )
+
+    d = P("data")
+    return jax.shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), d, d, d, d, d, d, d),
+        out_specs=(d, d, d, d, d, d),
+        axis_names={"data"},  # model axis stays GSPMD-auto
+        check_vma=False,
+    )
+
+
+def make_data_sharded_prefill_step(
+    tspec, pspec, trail_len, dtype, block_size, mesh, predictor_impl="xla",
+):
+    """shard_map-wrapped ``make_prefill_step``; the scalar seed is folded
+    with the shard index so shards draw decorrelated sampling streams."""
+    from jax.sharding import PartitionSpec as P
+
+    local = make_prefill_step(
+        tspec, pspec, trail_len, dtype, block_size,
+        predictor_impl=predictor_impl,
+    )
+
+    def sharded(tparams, pparams, kc, vc, pool, trail, embeds, meta, temps, seed):
+        seed = seed + (7919 * jax.lax.axis_index("data")).astype(jnp.int32)
+        kc2, vc2, pool2, frame = local(
+            tparams, pparams, _index0(kc), _index0(vc), pool[0], trail[0],
+            embeds[0], meta[0], temps[0], seed,
+        )
+        return _expand0(kc2), _expand0(vc2), pool2[None], frame[None]
+
+    d = P("data")
+    return jax.shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), d, d, d, d, d, d, d, P()),
+        out_specs=(d, d, d, d),
+        axis_names={"data"},
+        check_vma=False,
+    )

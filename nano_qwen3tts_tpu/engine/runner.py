@@ -33,6 +33,7 @@ Device-resident pools (pool row 0 reserved as garbage):
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -47,6 +48,8 @@ from nano_qwen3tts_tpu.models.predictor import predictor_spec
 from nano_qwen3tts_tpu.models.talker import talker_spec
 from nano_qwen3tts_tpu.models.transformer import AttnSpec
 from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache, prefill_slot_mapping
+
+logger = logging.getLogger(__name__)
 
 GARBAGE_POOL_ROW = 0
 
@@ -93,6 +96,7 @@ class Runner:
         if mesh is None and (
             engine_config.tensor_parallel_size > 1
             or engine_config.data_parallel_size > 1
+            or engine_config.data_sharded == "force"
         ):
             from nano_qwen3tts_tpu.parallel.mesh import make_mesh
 
@@ -100,8 +104,26 @@ class Runner:
                 data=engine_config.data_parallel_size,
                 model=engine_config.tensor_parallel_size,
             )
-        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        # Data-sharded serving (SCALING.md shape): manual-"data" shard_map
+        # with per-shard KV/pool state and zero cross-data collectives.
+        # "auto" activates it whenever the data axis is real; "force" keeps
+        # it on even for a 1-device mesh (validates the shard_map programs —
+        # including the Pallas burst kernels inside a shard — on one chip).
+        ds_mode = engine_config.data_sharded
+        self.data_sharded = bool(mesh is not None) and (
+            ds_mode == "force"
+            or (ds_mode == "auto" and int(mesh.shape["data"]) > 1)
+        )
+        self.mesh = (
+            mesh if (mesh is not None and (mesh.size > 1 or self.data_sharded))
+            else None
+        )
+        if self.mesh is None:
+            self.data_sharded = False
         self._data_size = int(self.mesh.shape["data"]) if self.mesh else 1
+        self._model_size = int(self.mesh.shape["model"]) if self.mesh else 1
+        # Number of serving shards the scheduler/pools partition over.
+        self.n_shards = self._data_size if self.data_sharded else 1
         self.tspec: AttnSpec = talker_spec(tc)
         self.pspec: AttnSpec = predictor_spec(tc.code_predictor_config)
         if engine_config.unroll_layers:
@@ -122,17 +144,28 @@ class Runner:
 
         impl = engine_config.attention_impl
         on_tpu = jax.default_backend() not in ("cpu",)
-        if impl == "burst" and self.mesh is not None:
-            # The whole-stack talker burst kernel owns its flat KV layout and
-            # in-kernel DMA writes — it cannot run under a GSPMD sharding.
-            # "auto" falls back silently below; an explicit request fails
-            # loudly instead of silently serving a different kernel.
+        # Each data shard is a single device when the model axis is 1; the
+        # single-chip burst kernels then run unchanged INSIDE the shard_map
+        # shard (their flat-KV layout and in-kernel DMA never cross the
+        # shard boundary), keeping single-chip per-chip performance on a
+        # dp mesh instead of the 2.8x per-layer fallback penalty.
+        shard_local = self.data_sharded and self._model_size == 1
+        if impl == "burst" and self.mesh is not None and not shard_local:
+            # Under GSPMD (or tp>1 inside a shard) the whole-stack talker
+            # burst kernel cannot run — it owns its flat KV layout and
+            # in-kernel DMA writes. "auto" falls back silently below; an
+            # explicit request fails loudly instead of silently serving a
+            # different kernel.
             raise ValueError(
-                "attention_impl='burst' is single-device only; use "
-                "attention_impl='auto' (falls back to the per-layer pallas/"
-                "xla paths on a mesh) or a 1-device mesh"
+                "attention_impl='burst' needs a single device per data "
+                "shard (tensor_parallel_size == 1 with data-sharded "
+                "serving, or no mesh); use attention_impl='auto' (falls "
+                "back to the per-layer pallas/xla paths under tensor "
+                "parallelism)"
             )
-        if impl in ("auto", "burst") and on_tpu and self.mesh is None:
+        if impl in ("auto", "burst") and on_tpu and (
+            self.mesh is None or shard_local
+        ):
             # whole-stack Pallas talker kernel: requires the padded-head
             # weight layout (built once here), int8 KV, and one cache block
             # per lane (kvcache_block_size == max_model_len). "auto" prefers
@@ -166,15 +199,17 @@ class Runner:
 
             pimpl = (
                 "pallas"
-                if jax.default_backend() not in ("cpu",)
-                and self.mesh is None  # VMEM-resident kernel: single device
+                if on_tpu
+                # VMEM-resident kernel: one device per shard (or no mesh)
+                and (self.mesh is None or shard_local)
                 and supports_burst(predictor_params, self.pspec)
                 else "xla"
             )
-        elif pimpl == "pallas" and self.mesh is not None:
+        elif pimpl == "pallas" and self.mesh is not None and not shard_local:
             raise ValueError(
-                "predictor_impl='pallas' (VMEM-resident burst kernel) is "
-                "single-device only; use 'auto' or 'xla' on a mesh"
+                "predictor_impl='pallas' (VMEM-resident burst kernel) needs "
+                "a single device per data shard; use 'auto' or 'xla' under "
+                "tensor parallelism"
             )
         self.predictor_impl = pimpl
         self.num_blocks = (
@@ -183,12 +218,14 @@ class Runner:
                 if engine_config.num_kvcache_blocks > 0 else None)
             or self._auto_num_blocks()
         )
+        shard_dim = self.n_shards if self.data_sharded else 0
         if engine_config.kv_cache_dtype == "int8":
             from nano_qwen3tts_tpu.ops.kv_cache import make_kv_cache_int8
 
             self.k_cache, self.v_cache = make_kv_cache_int8(
                 tc.num_hidden_layers, self.num_blocks, self.block_size,
                 tc.num_key_value_heads, self.tspec.head_dim,
+                num_shards=shard_dim,
             )
         else:
             self.k_cache, self.v_cache = make_kv_cache(
@@ -198,9 +235,11 @@ class Runner:
                 tc.num_key_value_heads,
                 self.tspec.head_dim,
                 jnp.bfloat16 if self.dtype == jnp.bfloat16 else self.dtype,
+                num_shards=shard_dim,
             )
 
         self._repl = None
+        self._data_lead = None  # NamedSharding factory for [n_data, ...] state
         if self.mesh is not None:
             # Place weights + caches under the TP plan (parallel/sharding.py,
             # the GSPMD realization of reference config.py:273-281); GSPMD
@@ -209,6 +248,7 @@ class Runner:
             from jax.sharding import NamedSharding, PartitionSpec
             from nano_qwen3tts_tpu.parallel.sharding import (
                 apply_shardings,
+                data_sharded_kv_sharding,
                 kv_cache_sharding,
                 predictor_shardings,
                 quantized_kv_sharding,
@@ -216,6 +256,13 @@ class Runner:
             )
 
             self._repl = NamedSharding(self.mesh, PartitionSpec())
+
+            def _lead(nd: int) -> NamedSharding:
+                return NamedSharding(
+                    self.mesh, PartitionSpec("data", *([None] * (nd - 1)))
+                )
+
+            self._data_lead = _lead
             self.tparams = talker_params = apply_shardings(
                 talker_params, talker_shardings(self.mesh, tc), self.mesh
             )
@@ -224,23 +271,47 @@ class Runner:
                 predictor_shardings(self.mesh, tc.code_predictor_config),
                 self.mesh,
             )
-            kv_sh = (
-                quantized_kv_sharding(self.mesh, tc.num_key_value_heads)
-                if engine_config.kv_cache_dtype == "int8"
-                else kv_cache_sharding(self.mesh, tc.num_key_value_heads)
-            )
+            if self.data_sharded:
+                kv_sh = data_sharded_kv_sharding(
+                    self.mesh, tc.num_key_value_heads,
+                    quantized=engine_config.kv_cache_dtype == "int8",
+                )
+            elif engine_config.kv_cache_dtype == "int8":
+                kv_sh = quantized_kv_sharding(self.mesh, tc.num_key_value_heads)
+            else:
+                kv_sh = kv_cache_sharding(self.mesh, tc.num_key_value_heads)
             self.k_cache = jax.device_put(self.k_cache, kv_sh)
             self.v_cache = jax.device_put(self.v_cache, kv_sh)
 
-        # Pools (row 0 = garbage lane).
-        self.P = engine_config.max_active_streams + 1
+        # Pools (row 0 = garbage lane). Data-sharded: per-shard pools with a
+        # leading [n_data] dim; each shard's lane count is bounded by the
+        # largest decode bucket so one shard's batch always fits one
+        # compiled program.
+        if self.data_sharded:
+            per_shard = min(
+                engine_config.max_active_streams,
+                engine_config.decode_buckets[-1],
+            )
+            self.P = per_shard + 1
+        else:
+            self.P = engine_config.max_active_streams + 1
         self.Lt = trail_pool_len or engine_config.max_model_len
         self.tts_pad_vec = None  # set via set_tts_pad (prep layer provides it)
-        self.embed_pool = self._place(jnp.zeros((self.P, self.D), self.dtype))
-        self.trail_pool = self._place(
-            jnp.zeros((self.P, self.Lt, self.D), self.dtype)
+        pool_shape = (
+            (self.n_shards, self.P, self.D) if self.data_sharded
+            else (self.P, self.D)
         )
-        self._free_pool_slots = list(range(1, self.P))
+        trail_shape = (
+            (self.n_shards, self.P, self.Lt, self.D) if self.data_sharded
+            else (self.P, self.Lt, self.D)
+        )
+        self.embed_pool = self._place_state(jnp.zeros(pool_shape, self.dtype))
+        self.trail_pool = self._place_state(jnp.zeros(trail_shape, self.dtype))
+        self._free_slots_by_shard = [
+            list(range(1, self.P)) for _ in range(self.n_shards)
+        ]
+        # Live-lane count per shard (for least-loaded shard assignment).
+        self._lanes_by_shard = [0] * self.n_shards
 
         self.base_key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._step_counter = 0
@@ -250,9 +321,19 @@ class Runner:
         self._dev_meta = None
         self._dev_temps = None
         # independent key: the multi-step jit DONATES its key argument, so
-        # it must never alias base_key (used by the single-frame paths)
-        self._dev_key = jax.random.fold_in(self.base_key, 0x5EED)
+        # it must never alias base_key (used by the single-frame paths).
+        # Data-sharded: one independent key per shard, sharded over "data".
+        if self.data_sharded:
+            self._dev_key = self._put_sharded(
+                np.stack([
+                    np.asarray(jax.random.fold_in(self.base_key, 0x5EED + i))
+                    for i in range(self.n_shards)
+                ])
+            )
+        else:
+            self._dev_key = jax.random.fold_in(self.base_key, 0x5EED)
         self._meta_sig = None
+        self._warmed = False
         self._decode_fns: dict[int, callable] = {}
         self._decode_multi_fns: dict[tuple[int, int], callable] = {}
         self._prefill_fns: dict[tuple[int, int], callable] = {}
@@ -301,13 +382,29 @@ class Runner:
         """Replicate a device-resident array over the mesh (no-op 1-device)."""
         return jax.device_put(x, self._repl) if self._repl is not None else x
 
+    def _place_state(self, x):
+        """Place per-request serving state: leading shard dim over "data"
+        in data-sharded mode, replicated otherwise."""
+        if self.data_sharded:
+            return jax.device_put(x, self._data_lead(x.ndim))
+        return self._place(x)
+
+    def _put_sharded(self, x, dtype=None):
+        """Upload a [n_data, ...] host array sharded over "data"."""
+        arr = jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
+        return jax.device_put(arr, self._data_lead(arr.ndim))
+
     def _put_batch(self, x, dtype=None, batch_dim: int = 0):
         """Upload a host array, sharding its batch dim over the mesh "data"
         axis when it divides evenly (batch bucket 1 on data>1: replicate)."""
         arr = jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
         if self.mesh is None:
             return arr
-        if self._data_size > 1 and arr.shape[batch_dim] % self._data_size == 0:
+        if (
+            not self.data_sharded
+            and self._data_size > 1
+            and arr.shape[batch_dim] % self._data_size == 0
+        ):
             from jax.sharding import NamedSharding, PartitionSpec
 
             spec = [None] * arr.ndim
@@ -318,8 +415,21 @@ class Runner:
         return jax.device_put(arr, self._repl)
 
     # ------------------------------------------------------------------
-    # pool management
+    # pool management (data-sharded: per-shard slot free lists; a request
+    # is pinned to one data shard for its whole lifetime)
     # ------------------------------------------------------------------
+
+    @property
+    def _free_pool_slots(self) -> list[int]:
+        """Shard-0 free list (single-shard compatibility view)."""
+        return self._free_slots_by_shard[0]
+
+    @property
+    def decode_dispatch_capacity(self) -> int:
+        """Max sequences one decode dispatch can carry (per-shard lanes are
+        bounded by pool sizing, so any seq subset up to this fits)."""
+        cap = self.cfg.decode_buckets[-1]
+        return cap * self.n_shards if self.data_sharded else cap
 
     def set_tts_pad(self, tts_pad: np.ndarray):
         """Install the tts-pad embedding and re-fill the trailing pool.
@@ -329,35 +439,57 @@ class Runner:
         permanently and per-request writes only touch real trailing rows.
         """
         self.tts_pad_vec = jnp.asarray(tts_pad, self.dtype).reshape(self.D)
-        self.trail_pool = self._place(
-            jnp.broadcast_to(self.tts_pad_vec, (self.P, self.Lt, self.D)).astype(
-                self.dtype
-            )
+        shape = (
+            (self.n_shards, self.P, self.Lt, self.D) if self.data_sharded
+            else (self.P, self.Lt, self.D)
+        )
+        self.trail_pool = self._place_state(
+            jnp.broadcast_to(self.tts_pad_vec, shape).astype(self.dtype)
         )
         # embed pool rows start at zero; they are always written before read.
 
-    def acquire_pool_slot(self, trailing: Optional[np.ndarray]) -> int:
-        """Assign a pool row and load its trailing hiddens. trailing: [T, D]."""
-        if not self._free_pool_slots:
+    def acquire_slot(
+        self, trailing: Optional[np.ndarray]
+    ) -> tuple[int, int]:
+        """Assign a (data_shard, pool row) and load the row's trailing
+        hiddens. trailing: [T, D]. Shard choice: most free slots (the
+        scheduler keeps the request there for its lifetime)."""
+        shard = max(
+            range(self.n_shards), key=lambda i: len(self._free_slots_by_shard[i])
+        )
+        if not self._free_slots_by_shard[shard]:
             raise RuntimeError("no free stream slots (max_active_streams)")
-        slot = self._free_pool_slots.pop()
+        slot = self._free_slots_by_shard[shard].pop()
+        self._lanes_by_shard[shard] += 1
         if trailing is not None and trailing.shape[0] > 0:
             t = jnp.asarray(trailing[: self.Lt], self.dtype)
-            self.trail_pool = self.trail_pool.at[slot, : t.shape[0]].set(t)
+            idx = (shard, slot) if self.data_sharded else (slot,)
+            self.trail_pool = self.trail_pool.at[idx + (slice(0, t.shape[0]),)].set(t)
             self._dirty_rows = getattr(self, "_dirty_rows", {})
-            self._dirty_rows[slot] = int(t.shape[0])
-        return slot
+            self._dirty_rows[(shard, slot)] = int(t.shape[0])
+        return shard, slot
 
-    def release_pool_slot(self, slot: int):
-        n = getattr(self, "_dirty_rows", {}).pop(slot, 0)
+    def release_slot(self, shard: int, slot: int):
+        n = getattr(self, "_dirty_rows", {}).pop((shard, slot), 0)
         if n and self.tts_pad_vec is not None:
             pad = jnp.broadcast_to(self.tts_pad_vec, (n, self.D))
-            self.trail_pool = self.trail_pool.at[slot, :n].set(pad)
-        self._free_pool_slots.append(slot)
+            idx = (shard, slot) if self.data_sharded else (slot,)
+            self.trail_pool = self.trail_pool.at[idx + (slice(0, n),)].set(pad)
+        self._free_slots_by_shard[shard].append(slot)
+        self._lanes_by_shard[shard] -= 1
 
     # ------------------------------------------------------------------
     # fused step functions
     # ------------------------------------------------------------------
+
+    def _warn_lazy(self, what: str):
+        if self._warmed:
+            logger.warning(
+                "serve-time compile of %s (not in the warmed set) — through "
+                "a remote-attached TPU this stalls live requests for the "
+                "full compile; extend decode_buckets/prefill_buckets or "
+                "warmup() coverage", what,
+            )
 
     def _build_decode_fn(self):
         from nano_qwen3tts_tpu.engine.fused_step import make_decode_step
@@ -369,29 +501,50 @@ class Runner:
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
     def _build_prefill_fn(self):
-        from nano_qwen3tts_tpu.engine.fused_step import make_prefill_step
-
-        fn = make_prefill_step(
-            self.tspec, self.pspec, self.Lt, self.dtype, self.block_size,
-            predictor_impl=self.predictor_impl,
+        from nano_qwen3tts_tpu.engine.fused_step import (
+            make_data_sharded_prefill_step,
+            make_prefill_step,
         )
+
+        if self.data_sharded:
+            fn = make_data_sharded_prefill_step(
+                self.tspec, self.pspec, self.Lt, self.dtype, self.block_size,
+                self.mesh, predictor_impl=self.predictor_impl,
+            )
+        else:
+            fn = make_prefill_step(
+                self.tspec, self.pspec, self.Lt, self.dtype, self.block_size,
+                predictor_impl=self.predictor_impl,
+            )
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
     def _decode_fn(self, bucket: int):
         if bucket not in self._decode_fns:
+            self._warn_lazy(f"decode bucket {bucket}")
             self._decode_fns[bucket] = self._build_decode_fn()
         return self._decode_fns[bucket]
 
     def _decode_multi_fn(self, bucket: int, n_frames: int):
         key = (bucket, n_frames)
         if key not in self._decode_multi_fns:
-            from nano_qwen3tts_tpu.engine.fused_step import make_decode_multi_step
-
-            fn = make_decode_multi_step(
-                self.tspec, self.pspec, self.block_size, self.Lt, self.dtype,
-                n_frames, attn_impl=self.attn_impl,
-                predictor_impl=self.predictor_impl,
+            from nano_qwen3tts_tpu.engine.fused_step import (
+                make_data_sharded_decode_multi_step,
+                make_decode_multi_step,
             )
+
+            self._warn_lazy(f"decode bucket {bucket} x{n_frames}")
+            if self.data_sharded:
+                fn = make_data_sharded_decode_multi_step(
+                    self.tspec, self.pspec, self.block_size, self.Lt,
+                    self.dtype, n_frames, self.mesh, attn_impl=self.attn_impl,
+                    predictor_impl=self.predictor_impl,
+                )
+            else:
+                fn = make_decode_multi_step(
+                    self.tspec, self.pspec, self.block_size, self.Lt,
+                    self.dtype, n_frames, attn_impl=self.attn_impl,
+                    predictor_impl=self.predictor_impl,
+                )
             self._decode_multi_fns[key] = jax.jit(
                 fn, donate_argnums=(2, 3, 4, 6, 8)
             )
@@ -400,8 +553,45 @@ class Runner:
     def _prefill_fn(self, bb: int, tb: int):
         key = (bb, tb)
         if key not in self._prefill_fns:
+            self._warn_lazy(f"prefill bucket ({bb},{tb})")
             self._prefill_fns[key] = self._build_prefill_fn()
         return self._prefill_fns[key]
+
+    def _group_by_shard(self, seqs: list[Sequence]) -> list[list[Sequence]]:
+        """Deterministic per-shard lane assignment (lane = order within the
+        shard's slice of ``seqs``). Used identically at dispatch and fetch."""
+        groups: list[list[Sequence]] = [[] for _ in range(self.n_shards)]
+        for s in seqs:
+            groups[s.data_shard].append(s)
+        return groups
+
+    def compiled_decode_text(self, bucket: int = 1, n_frames: int = 0) -> str:
+        """Compiled-HLO text of the decode program (for
+        ``parallel.distributed.collective_span_report`` — the zero-cross-data
+        scaling proof runs against the PRODUCTION engine program)."""
+        n = n_frames or max(1, self.cfg.frames_per_step)
+        fn = self._decode_multi_fn(bucket, n)
+        if self.data_sharded:
+            meta = np.zeros((self.n_shards, bucket, 3 + self.NB), np.int32)
+            meta[:, :, 1] = 1
+            args = (
+                self.tparams, self.pparams, self.k_cache, self.v_cache,
+                self.embed_pool, self.trail_pool,
+                self._put_sharded(meta),
+                self._put_sharded(np.ones((self.n_shards, 2, bucket), np.float32)),
+                self._dev_key,
+            )
+        else:
+            meta = np.zeros((bucket, 3 + self.NB), np.int32)
+            meta[:, 1] = 1
+            args = (
+                self.tparams, self.pparams, self.k_cache, self.v_cache,
+                self.embed_pool, self.trail_pool,
+                self._put_batch(meta),
+                self._put_batch(np.ones((2, bucket), np.float32), batch_dim=1),
+                self._dev_key,
+            )
+        return fn.lower(*args).compile().as_text()
 
     def _next_key(self):
         self._step_counter += 1
@@ -417,6 +607,8 @@ class Runner:
     def run_prefill(self, seqs: list[Sequence]) -> np.ndarray:
         """Run prefill + first frame for a batch. Returns frames [B, 16]."""
         self.invalidate_step_cache()
+        if self.data_sharded:
+            return self._run_prefill_sharded(seqs)
         B = len(seqs)
         max_len = max(s.prompt_len for s in seqs)
         tb = _bucket(max_len, self.cfg.prefill_buckets)
@@ -445,9 +637,51 @@ class Runner:
         )
         return np.asarray(frame)[:B]
 
+    def _run_prefill_sharded(self, seqs: list[Sequence]) -> np.ndarray:
+        """Data-sharded prefill: each shard prefills its own lanes into its
+        own KV pool under shard_map; shards with no arrivals run garbage
+        lanes (length 0, pool row 0). Returns frames [B, 16] in seqs order."""
+        groups = self._group_by_shard(seqs)
+        max_len = max(s.prompt_len for s in seqs)
+        tb = _bucket(max_len, self.cfg.prefill_buckets)
+        bb = _bucket(max(len(g) for g in groups) or 1, self.cfg.decode_buckets)
+        nd = self.n_shards
+        embeds = np.zeros((nd, bb, tb, self.D), np.float32)
+        meta = np.zeros((nd, bb, 3 + self.NB), np.int32)
+        temps = np.ones((nd, 2, bb), np.float32)
+        temps[:, 1] = 0.9
+        for sh, group in enumerate(groups):
+            for i, s in enumerate(group):
+                L = s.prompt_len
+                embeds[sh, i, :L] = s.input_embeds
+                meta[sh, i, 0] = s.pool_slot
+                meta[sh, i, 1] = L
+                nt = len(s.block_table)
+                meta[sh, i, 3 : 3 + nt] = s.block_table
+                temps[sh, 0, i] = s.temperature
+                temps[sh, 1, i] = getattr(s, "predictor_temperature", 0.9)
+        fn = self._prefill_fn(bb, tb)
+        self._step_counter += 1
+        self.k_cache, self.v_cache, self.embed_pool, frame = fn(
+            self.tparams, self.pparams, self.k_cache, self.v_cache,
+            self.embed_pool, self.trail_pool,
+            self._put_sharded(embeds, self.dtype), self._put_sharded(meta),
+            self._put_sharded(temps),
+            jnp.asarray(np.int32(self._step_counter)),
+        )
+        f = np.asarray(frame)  # [nd, bb, 16]
+        counters = [0] * nd
+        out = np.zeros((len(seqs), 16), f.dtype)
+        for b, s in enumerate(seqs):
+            out[b] = f[s.data_shard, counters[s.data_shard]]
+            counters[s.data_shard] += 1
+        return out
+
     def run_decode(self, seqs: list[Sequence]) -> np.ndarray:
         """Run one decode frame step for a batch. Returns frames [B, 16]."""
         self.invalidate_step_cache()
+        if self.data_sharded:
+            return self.run_decode_multi(seqs, 1)[:, 0, :]
         B = len(seqs)
         bb = _bucket(B, self.cfg.decode_buckets)
         pool_idx = np.full((bb,), GARBAGE_POOL_ROW, np.int32)
@@ -492,7 +726,21 @@ class Runner:
         argument transfer costs fixed latency, so 9 small transfers -> 3.
         """
         frames_dev = self.dispatch_decode_multi(seqs, n_frames)
-        return np.asarray(frames_dev).transpose(1, 0, 2)[: len(seqs)]  # [B, N, 16]
+        return self.frames_to_host(frames_dev, seqs)  # [B, N, 16]
+
+    def frames_to_host(self, frames_dev, seqs: list[Sequence]) -> np.ndarray:
+        """Fetch a dispatch's device frames and re-order them to [B, N, 16]
+        in ``seqs`` order (sharded layout: [n_data, N, bb, 16]; flat layout:
+        [N, bb, 16])."""
+        f = np.asarray(frames_dev)
+        if not self.data_sharded:
+            return f.transpose(1, 0, 2)[: len(seqs)]
+        counters = [0] * self.n_shards
+        out = np.zeros((len(seqs), f.shape[1], 16), f.dtype)
+        for b, s in enumerate(seqs):
+            out[b] = f[s.data_shard, :, counters[s.data_shard]]
+            counters[s.data_shard] += 1
+        return out
 
     def dispatch_decode_multi(self, seqs: list[Sequence], n_frames: int):
         """Async variant: returns the device frames array [N, bb, 16]
@@ -504,11 +752,37 @@ class Runner:
         host<->device link.
         """
         B = len(seqs)
-        bb = _bucket(B, self.cfg.decode_buckets)
+        if self.data_sharded:
+            groups = self._group_by_shard(seqs)
+            bb = _bucket(
+                max(len(g) for g in groups) or 1, self.cfg.decode_buckets
+            )
+        else:
+            bb = _bucket(B, self.cfg.decode_buckets)
         # block-table length in the signature: any block append re-uploads
-        sig = (bb, n_frames, tuple((s.seq_id, len(s.block_table)) for s in seqs))
+        sig = (
+            bb, n_frames,
+            tuple((s.seq_id, s.data_shard, len(s.block_table)) for s in seqs),
+        )
         if sig == self._meta_sig and self._dev_meta is not None:
             meta_dev, temps_dev = self._dev_meta, self._dev_temps
+        elif self.data_sharded:
+            nd = self.n_shards
+            meta = np.zeros((nd, bb, 3 + self.NB), np.int32)
+            meta[:, :, 1] = 1  # pad lanes: kv_len 1 over the garbage block
+            temps = np.ones((nd, 2, bb), np.float32)
+            temps[:, 1] = 0.9
+            for sh, group in enumerate(groups):
+                for i, s in enumerate(group):
+                    meta[sh, i, 0] = s.pool_slot
+                    meta[sh, i, 1] = s.kv_len
+                    meta[sh, i, 2] = s.frames_emitted
+                    nt = min(len(s.block_table), self.NB)
+                    meta[sh, i, 3 : 3 + nt] = s.block_table[:nt]
+                    temps[sh, 0, i] = s.temperature
+                    temps[sh, 1, i] = getattr(s, "predictor_temperature", 0.9)
+            meta_dev = self._put_sharded(meta)
+            temps_dev = self._put_sharded(temps)
         else:
             meta = np.zeros((bb, 3 + self.NB), np.int32)
             meta[:, 1] = 1  # pad lanes: kv_len 1 over the garbage block
@@ -570,8 +844,12 @@ class Runner:
             self._warm_prefill(bb, tb)
             if verbose:
                 print(f"[warmup] prefill bucket ({bb},{tb}): {time.time()-t0:.1f}s")
+        self._warmed = True
 
     def _warm_decode(self, bb: int):
+        if self.data_sharded:
+            self._warm_decode_multi(bb, 1)
+            return
         fn = self._decode_fn(bb)
         z = np.zeros
         pb = self._put_batch
@@ -591,25 +869,47 @@ class Runner:
 
     def _warm_decode_multi(self, bb: int, n_frames: int):
         fn = self._decode_multi_fn(bb, n_frames)
-        meta = np.zeros((bb, 3 + self.NB), np.int32)
-        meta[:, 1] = 1
+        if self.data_sharded:
+            nd = self.n_shards
+            meta = np.zeros((nd, bb, 3 + self.NB), np.int32)
+            meta[:, :, 1] = 1
+            meta_dev = self._put_sharded(meta)
+            temps_dev = self._put_sharded(np.ones((nd, 2, bb), np.float32))
+        else:
+            meta = np.zeros((bb, 3 + self.NB), np.int32)
+            meta[:, 1] = 1
+            meta_dev = self._put_batch(meta)
+            temps_dev = self._put_batch(np.ones((2, bb), np.float32), batch_dim=1)
         (
             self.k_cache, self.v_cache, self.embed_pool,
             _, self._dev_key, _,
         ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,
-            self._put_batch(meta),
-            self._put_batch(np.ones((2, bb), np.float32), batch_dim=1),
-            self._dev_key,
+            meta_dev, temps_dev, self._dev_key,
         )
         self.invalidate_step_cache()
 
     def _warm_prefill(self, bb: int, tb: int):
         fn = self._prefill_fn(bb, tb)
+        self._step_counter += 1
+        if self.data_sharded:
+            nd = self.n_shards
+            meta = np.zeros((nd, bb, 3 + self.NB), np.int32)
+            meta[:, :, 1] = 1
+            self.k_cache, self.v_cache, self.embed_pool, _ = fn(
+                self.tparams, self.pparams, self.k_cache, self.v_cache,
+                self.embed_pool, self.trail_pool,
+                self._put_sharded(
+                    np.zeros((nd, bb, tb, self.D), np.float32), self.dtype
+                ),
+                self._put_sharded(meta),
+                self._put_sharded(np.ones((nd, 2, bb), np.float32)),
+                jnp.asarray(np.int32(self._step_counter)),
+            )
+            return
         meta = np.zeros((bb, 3 + self.NB), np.int32)
         meta[:, 1] = 1
-        self._step_counter += 1
         self.k_cache, self.v_cache, self.embed_pool, _ = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
             self.embed_pool, self.trail_pool,

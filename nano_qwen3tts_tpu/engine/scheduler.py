@@ -26,21 +26,39 @@ from nano_qwen3tts_tpu.engine.sequence import Sequence, SequenceStatus
 
 
 class Scheduler:
-    def __init__(self, config: EngineConfig, num_kvcache_blocks: Optional[int] = None):
+    def __init__(
+        self,
+        config: EngineConfig,
+        num_kvcache_blocks: Optional[int] = None,
+        num_shards: int = 1,
+    ):
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos = config.eos
         n_blocks = num_kvcache_blocks or config.num_kvcache_blocks
         assert n_blocks > 1, "num_kvcache_blocks must be set before scheduling"
-        self.block_manager = self._make_block_manager(
-            n_blocks, config.kvcache_block_size
-        )
+        # Data-sharded serving: one independent block pool per data shard
+        # (num_kvcache_blocks is per shard); a request allocates only from
+        # the pool of the shard it was pinned to (Sequence.data_shard).
+        self.num_shards = num_shards
+        self.block_managers = [
+            self._make_block_manager(n_blocks, config.kvcache_block_size)
+            for _ in range(num_shards)
+        ]
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.request_id_to_seq: dict[str, Sequence] = {}
         # Live streams evicted under block pressure; the engine drains this
         # and surfaces each as a request failure (see preempt()).
         self.preempted_failures: list[Sequence] = []
+
+    @property
+    def block_manager(self):
+        """Shard-0 pool (single-shard compatibility view)."""
+        return self.block_managers[0]
+
+    def bm_for(self, seq: Sequence):
+        return self.block_managers[seq.data_shard]
 
     @staticmethod
     def _make_block_manager(n_blocks: int, block_size: int):
@@ -83,7 +101,7 @@ class Scheduler:
         seq = self.request_id_to_seq.pop(request_id, None)
         if seq is None:
             return
-        self.block_manager.deallocate(seq.block_table)
+        self.bm_for(seq).deallocate(seq.block_table)
         if seq in self.running:
             self.running.remove(seq)
         if seq in self.waiting:
@@ -103,11 +121,11 @@ class Scheduler:
             n_blocks = seq.blocks_for(seq.prompt_len)
             if (
                 num_tokens + seq.prompt_len > self.max_num_batched_tokens
-                or not self.block_manager.can_allocate(n_blocks)
+                or not self.bm_for(seq).can_allocate(n_blocks)
             ):
                 break
             num_seqs += 1
-            seq.block_table, _ = self.block_manager.allocate_prefill(seq.prompt_len)
+            seq.block_table, _ = self.bm_for(seq).allocate_prefill(seq.prompt_len)
             num_tokens += seq.prompt_len
             seq.status = SequenceStatus.RUNNING
             self.waiting.popleft()
@@ -125,15 +143,26 @@ class Scheduler:
             if seq.decode_input_embeds is None:
                 self.running.append(seq)
                 continue
-            while not self.block_manager.can_append(seq.kv_len, seq.block_table):
-                if self.running:
-                    self.preempt(self.running.pop())
+            bm = self.bm_for(seq)
+            while not bm.can_append(seq.kv_len, seq.block_table):
+                # Evict from the SAME shard's pool — freeing another shard's
+                # blocks cannot unblock this sequence.
+                victim = next(
+                    (
+                        q for q in reversed(self.running)
+                        if q.data_shard == seq.data_shard
+                    ),
+                    None,
+                )
+                if victim is not None:
+                    self.running.remove(victim)
+                    self.preempt(victim)
                 else:
                     self.preempt(seq)
                     break
             else:
                 num_seqs += 1
-                self.block_manager.may_append(seq.kv_len, seq.block_table)
+                bm.may_append(seq.kv_len, seq.block_table)
                 scheduled.append(seq)
         if not scheduled:
             return [], False
@@ -154,12 +183,12 @@ class Scheduler:
         if seq.request_id is not None and seq.frames_emitted > 0:
             seq.status = SequenceStatus.FINISHED
             self.request_id_to_seq.pop(seq.request_id, None)
-            self.block_manager.deallocate(seq.block_table)
+            self.bm_for(seq).deallocate(seq.block_table)
             self.preempted_failures.append(seq)
             return
         seq.status = SequenceStatus.WAITING
         seq.decode_input_embeds = None
-        self.block_manager.deallocate(seq.block_table)
+        self.bm_for(seq).deallocate(seq.block_table)
         self.waiting.appendleft(seq)
 
     def drain_preempted(self) -> list[Sequence]:
@@ -193,6 +222,6 @@ class Scheduler:
         seq.status = SequenceStatus.FINISHED
         if seq.request_id is not None:
             self.request_id_to_seq.pop(seq.request_id, None)
-        self.block_manager.deallocate(seq.block_table)
+        self.bm_for(seq).deallocate(seq.block_table)
         if seq in self.running:
             self.running.remove(seq)

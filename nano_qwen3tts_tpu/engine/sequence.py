@@ -71,6 +71,10 @@ class Sequence:
         self.block_table: list[int] = []
         # Slot in the device-side trailing-text-hidden pool (engine/runner.py).
         self.pool_slot: int = -1
+        # Data shard owning this request for its lifetime (data-sharded
+        # serving: its KV blocks, pool rows, and decode lane all live in
+        # this shard's slice of the device state). 0 when unsharded.
+        self.data_shard: int = 0
         self.last_token: Optional[int] = None
 
     # -- scheduling views ---------------------------------------------------

@@ -33,8 +33,13 @@ def make_kv_cache(
     kv_heads: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    num_shards: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
+    """num_shards > 0 prepends a data-shard dim (one block pool per data
+    shard for the shard_map serving path; num_blocks is then per shard)."""
     shape = (num_layers, num_blocks * block_size, kv_heads, head_dim)
+    if num_shards:
+        shape = (num_shards,) + shape
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
@@ -142,12 +147,17 @@ class QuantizedKV:
 
 
 def make_kv_cache_int8(
-    num_layers: int, num_blocks: int, block_size: int, kv_heads: int, head_dim: int
+    num_layers: int, num_blocks: int, block_size: int, kv_heads: int,
+    head_dim: int, num_shards: int = 0,
 ) -> tuple[QuantizedKV, QuantizedKV]:
     S = num_blocks * block_size
     shape = (num_layers, S, kv_heads * head_dim)
+    s_shape = (num_layers, S)
+    if num_shards:
+        shape = (num_shards,) + shape
+        s_shape = (num_shards,) + s_shape
     mk = lambda: QuantizedKV(
-        jnp.zeros(shape, jnp.int8), jnp.ones((num_layers, S), jnp.float32)
+        jnp.zeros(shape, jnp.int8), jnp.ones(s_shape, jnp.float32)
     )
     return mk(), mk()
 

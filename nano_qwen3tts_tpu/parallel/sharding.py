@@ -108,6 +108,21 @@ def quantized_kv_sharding(mesh: Mesh, num_kv_heads: int):
     return QuantizedKV(_ns(mesh, None, None, kv), _ns(mesh))
 
 
+def data_sharded_kv_sharding(mesh: Mesh, num_kv_heads: int, quantized: bool):
+    """Shardings for the data-sharded serving KV pools (leading [n_data]
+    shard dim over "data"; kv-head dim still follows the model-axis rule so
+    TP inside a shard stays consistent with the projection shardings)."""
+    model = mesh.shape["model"]
+    kv = "model" if num_kv_heads % model == 0 else None
+    if quantized:
+        from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV
+
+        # q [n_data, L, S, Hkv*d], s [n_data, L, S]
+        return QuantizedKV(_ns(mesh, "data", None, None, kv), _ns(mesh, "data"))
+    # [n_data, L, S, Hkv, d]
+    return _ns(mesh, "data", None, None, kv, None)
+
+
 def quantized_weight_shardings(rule: NamedSharding, mesh: Mesh):
     """Derive (q, s) shardings for an ops.quant.QuantizedWeight from the
     bf16 weight's rule: ``q [.., K, N]`` keeps the rule's spec, ``s [.., N]``

@@ -159,7 +159,7 @@ def test_fresh_request_preemption_restarts_cleanly(rng):
 
     cfg = EngineConfig(
         max_model_len=64, kvcache_block_size=16, num_kvcache_blocks=4,
-        decode_buckets=(1, 2), prefill_buckets=(32,),
+        decode_buckets=(1, 2), prefill_buckets=(32,), max_active_streams=2,
     )
     sched = Scheduler(cfg, num_kvcache_blocks=4)
     seq = Sequence(

@@ -119,12 +119,18 @@ def main():
         if time_left() < 60:
             log(f"skip {name} (deadline): {time_left():.0f}s left")
             return
-        t0 = time.time()
-        engine, tc = build(**kw)
-        log(f"{name}: engine built {time.time()-t0:.1f}s "
-            f"(attn={engine.runner.attn_impl}, "
-            f"predictor={engine.runner.predictor_impl})")
-        s = measure(engine, tc, batch)
+        # A failing leg (OOM, over-budget cold compile) must not lose the
+        # rows already measured — log it and keep going so the table prints.
+        try:
+            t0 = time.time()
+            engine, tc = build(**kw)
+            log(f"{name}: engine built {time.time()-t0:.1f}s "
+                f"(attn={engine.runner.attn_impl}, "
+                f"predictor={engine.runner.predictor_impl})")
+            s = measure(engine, tc, batch)
+        except Exception as e:
+            log(f"leg {name!r} batch {batch} FAILED: {type(e).__name__}: {e}")
+            return
         row = {
             "config": name,
             "batch": batch,
@@ -145,12 +151,16 @@ def main():
     # (cold burst-kernel compiles through the TPU relay cost many minutes,
     # so splitting across two invocations is often necessary)
     legs = os.environ.get("ABLATION_LEGS", "all")
+    # ABLATION_BATCHES: comma-separated batch subset for the "batches" legs
+    # (e.g. "32" to spend one session on just the cold batch-32 compile)
+    batches = [
+        int(b)
+        for b in os.environ.get("ABLATION_BATCHES", "8,16,32,1").split(",")
+    ]
     if legs in ("all", "batches"):
         # production config first (most important numbers land first)
-        leg("int8 w8a8 + burst", 8, quantization="int8")
-        leg("int8 w8a8 + burst", 16, quantization="int8")
-        leg("int8 w8a8 + burst", 32, quantization="int8")
-        leg("int8 w8a8 + burst", 1, quantization="int8")
+        for b in batches:
+            leg("int8 w8a8 + burst", b, quantization="int8")
     if legs in ("all", "formats"):
         # weight-format ablation at batch 8, per-layer attention paths
         leg("bf16 (no quant)", 8, quantization=None, kv="bf16", attn="xla")
