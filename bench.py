@@ -184,12 +184,10 @@ def bench_codec(smoke: bool) -> float:
     from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
 
     # serving codec config: bf16 decode compute (see audio/codec.load_codec)
-    cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
+    cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "float32")
     codec = SpeechTokenizer(
-        CodecConfig(compute_dtype=cdt) if not smoke else CodecConfig(
-            codebook_size=64, latent_dim=32, base_channels=8,
-            upsample_rates=(4, 5, 4, 4), compute_dtype=cdt,
-        )
+        CodecConfig(compute_dtype=cdt) if not smoke
+        else CodecConfig.tiny(compute_dtype=cdt)
     )
     codes = np.random.default_rng(0).integers(
         0, codec.cfg.codebook_size, size=(1, 16, 12), dtype=np.int64

@@ -63,10 +63,8 @@ def build_interface(model_path=None, preset="tiny", engine_kw=None):
         **(engine_kw or {}),
     )
     codec = SpeechTokenizer(
-        CodecConfig(num_codebooks=16, codebook_size=64, latent_dim=32,
-                    base_channels=8, upsample_rates=(4, 5, 4, 4),
-                    compute_dtype=os.environ.get(
-                        "CODEC_COMPUTE_DTYPE", "bfloat16")),
+        CodecConfig.tiny(compute_dtype=os.environ.get(
+            "CODEC_COMPUTE_DTYPE", "bfloat16")),
         seed=0,
     )
     spk = SpeakerEncoder(

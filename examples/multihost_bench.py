@@ -38,6 +38,70 @@ def free_port():
         return s.getsockname()[1]
 
 
+def run_micro(steps: int):
+    """Control-plane cost probe (VERDICT r2 weak #1): the decode step has
+    ZERO cross-data collectives, so the only per-step multi-process cost is
+    each controller's own dispatch. Measure it directly: a ~microsecond
+    jitted step under the same shard_map harness, timed per step. The
+    per-step wall time at N processes minus the 1-process time bounds the
+    coordination overhead a real TPU deployment would add to its ~3 ms
+    decode step; report projected efficiency at 3 ms.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from nano_qwen3tts_tpu.parallel.distributed import (
+        global_array,
+        init_multihost,
+        is_primary,
+        multihost_mesh,
+    )
+
+    init_multihost()
+    mesh = multihost_mesh(
+        model_per_host=1, data_per_host=len(jax.local_devices())
+    )
+    n_data = mesh.shape["data"]
+    d = P("data")
+
+    def micro(x):
+        return (x[0] @ x[0] + 1.0)[None]
+
+    step = jax.jit(
+        jax.shard_map(
+            micro, mesh=mesh, in_specs=(d,), out_specs=d,
+            axis_names={"data"}, check_vma=False,
+        )
+    )
+    x = global_array(
+        np.ones((n_data, 8, 8), np.float32),
+        jax.sharding.NamedSharding(mesh, P("data")),
+    )
+    y = step(x)
+    y.block_until_ready()
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        y = step(x)
+        y.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    us = float(np.median(times)) * 1e6
+    if is_primary():
+        eff3ms = 3000.0 / (3000.0 + us)
+        print(
+            f"[mh-bench] micro-step: {us:.0f} us/step per-process dispatch "
+            f"({len(times)} steps, {n_data} data shards) — projected "
+            f"efficiency at a 3 ms TPU decode step: {eff3ms*100:.1f}% "
+            "(zero cross-data collectives: no cross-process barrier exists "
+            "in the step; this measures each controller's own dispatch "
+            "overhead, the only per-step control-plane cost)",
+            flush=True,
+        )
+    return us
+
+
 def run_bench(batch_per_host: int, devices_per_host: int, steps: int):
     import jax
 
@@ -223,7 +287,13 @@ def spawn_mode(n: int, args):
     or startup skew."""
     script = os.path.abspath(__file__)
     env_base = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    ncores = os.cpu_count() or 1
+    ncores = os.cpu_count() or 1  # logical cores (sched_setaffinity domain)
+    if args.pin_cores and n > ncores:
+        raise SystemExit(
+            f"--pin-cores with --spawn {n} needs {n} disjoint logical "
+            f"cores but this machine has {ncores}; lower --spawn or drop "
+            "--pin-cores"
+        )
     cores_per_host = max(1, ncores // n) if args.pin_cores else 0
 
     def launch(nproc):
@@ -243,17 +313,28 @@ def spawn_mode(n: int, args):
                 env["MH_BENCH_CPUS"] = ",".join(
                     str(c) for c in range(lo, lo + cores_per_host)
                 )
+            cmd = [sys.executable, script, "--batch-per-host",
+                   str(args.batch_per_host), "--steps", str(args.steps),
+                   "--devices-per-host", str(args.devices_per_host)]
+            if args.micro:
+                cmd.append("--micro")
             procs.append(
                 subprocess.Popen(
-                    [sys.executable, script, "--batch-per-host",
-                     str(args.batch_per_host), "--steps", str(args.steps),
-                     "--devices-per-host", str(args.devices_per_host)],
-                    env=env, stdout=subprocess.PIPE,
+                    cmd, env=env, stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT, text=True,
                 )
             )
         outs = [p.communicate()[0] for p in procs]
         assert all(p.returncode == 0 for p in procs), outs[0][-3000:]
+        if args.micro:
+            us = None
+            for line in outs[0].splitlines():
+                if "micro-step:" in line:
+                    print(line)
+                    us = float(line.split("micro-step: ")[1].split(" us/step")[0])
+            if us is None:
+                raise RuntimeError(outs[0][-3000:])
+            return us
         fps = None
         for line in outs[0].splitlines():
             if "collectives by mesh axis" in line:
@@ -269,17 +350,26 @@ def spawn_mode(n: int, args):
     f1 = launch(1)
     print(f"== {n} hosts ==")
     fn = launch(n)
+    if args.micro:
+        # dispatch-overhead delta bounds the per-step control-plane cost
+        delta = max(0.0, fn - f1)
+        eff = 3000.0 / (3000.0 + delta)
+        print(
+            f"[mh-bench] micro-step dispatch: {f1:.0f} us at 1 host, "
+            f"{fn:.0f} us at {n} hosts (delta {delta:.0f} us) — projected "
+            f"data-axis efficiency at a 3 ms TPU decode step: {eff*100:.1f}%"
+        )
+        return
     eff = fn / (n * f1)
     print(f"[mh-bench] scaling efficiency {n} hosts: {eff*100:.1f}% "
           f"({fn:.1f} vs {n}x{f1:.1f} frames/s)")
     if cores_per_host:
         print(
             f"[mh-bench] pinned mode: every simulated host ran on its own "
-            f"{cores_per_host} core(s), baseline included — equal per-host "
-            "compute, so the efficiency number above reflects cross-process "
-            "coordination cost only (measured 100.0% at 2 hosts on 2 cores, "
-            "2026-08-20, consistent with the zero-cross-data collective "
-            "report)."
+            f"{cores_per_host} logical core(s), baseline included — equal "
+            "per-host compute, so the efficiency number above reflects "
+            "cross-process coordination cost only (see SCALING.md for the "
+            "recorded baseline)."
         )
     else:
         print(
@@ -303,6 +393,10 @@ def main():
     ap.add_argument("--batch-per-host", type=int, default=8)
     ap.add_argument("--devices-per-host", type=int, default=4)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--micro", action="store_true",
+                    help="measure per-step dispatch overhead with a "
+                         "microsecond-scale step (control-plane cost bound "
+                         "at real TPU step times)")
     args = ap.parse_args()
 
     if args.spawn and not os.environ.get("MH_BENCH_CHILD"):
@@ -316,6 +410,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.micro:
+        run_micro(max(args.steps, 200))
+        return
     run_bench(args.batch_per_host, args.devices_per_host, args.steps)
 
 

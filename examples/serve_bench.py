@@ -73,7 +73,7 @@ def build_1p7b_interface():
     )
     codec = SpeechTokenizer(
         CodecConfig(
-            compute_dtype=os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
+            compute_dtype=os.environ.get("CODEC_COMPUTE_DTYPE", "float32")
         ),
         seed=0,
     )

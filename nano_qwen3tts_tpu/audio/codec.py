@@ -4,56 +4,83 @@ Functional replacement for the reference's external ``qwen_tts`` speech
 tokenizer (utils/audio.py:35-281) and its CUDA-graph decode wrapper
 (utils/speech_tokenizer_cudagraph.py:18-169):
 
-* 16 residual codebooks, 12.5 Hz frame rate, 1920-sample hop at 24 kHz
-  (one frame == 80 ms of audio);
-* decoder: per-codebook embedding sum -> causal SEANet-style upsampling
-  ConvNet (transposed convs with rates 8*6*5*8 = 1920) -> tanh waveform;
-* encoder (voice clone): mirrored strided ConvNet -> 16-stage residual VQ
-  against the same codebooks;
+* 16 residual codebooks x 2048 entries, 12.5 Hz frame rate, 1920-sample
+  hop at 24 kHz (one frame == 80 ms of audio);
+* **decoder**: the real Qwen codec-decoder architecture (Code2Wav:
+  code-embedding mean -> 8-layer sliding-window transformer -> ConvNeXt
+  upsampling -> SnakeBeta/transposed-conv head), transcribed from the
+  public transformers implementation — see audio/code2wav.py and
+  CODEC_ARCH.md for the evidence chain and the known/assumed split;
+* **encoder** (voice clone): mirrored strided ConvNet -> 16-stage residual
+  VQ. The upstream *encoder* has no public implementation, so this half
+  remains this repo's own design (CODEC_ARCH.md "assumed"); real
+  deployments can bypass it with precomputed reference codes;
 * streaming: ``chunked_decode`` overlap windows with left-context trim
-  (chunk 300 / context 25 — speech_tokenizer_cudagraph.py:127-157), and the
-  per-chunk windowed decode policy the server uses.
+  (chunk 300 / context 25 — the exact signature of the upstream
+  ``Code2Wav.chunked_decode``), and the per-chunk windowed decode policy
+  the server uses.
 
 The reference replays 50 captured CUDA graphs for decoder lengths T=1..50
 (speech_tokenizer_cudagraph.py:18-56); here decode lengths are padded to a
-handful of buckets and each bucket is one jitted XLA program.
+handful of buckets and each bucket is one jitted XLA program. Bucket
+padding REPEATS the final frame: the decoder head's transposed convs peek
+one input step ahead (audio/code2wav.py docstring), so a sustained-audio
+pad keeps the tail of the valid region well-conditioned where zero codes
+would splice garbage spectra into the last frames.
 
-NOTE on weights: the upstream ``qwen_tts`` package (and its checkpoint
-format) is not available in this environment, so the architecture here is
-this repo's own — an independent SEANet/RVQ design with the same external
-contract (frame rate, codebook count/size, sample rate, streaming policy).
-``CodecParams`` can be loaded from a converted ``codec.safetensors``; tests
-and benches run with seeded random weights.
+Weights: ``load_codec`` reads ``<model>/codec.safetensors`` whose decoder
+tensors use the UPSTREAM torch names verbatim (tools/convert_checkpoint.py
+validates against that schema), falling back to seeded random weights of
+the same architecture when absent.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nano_qwen3tts_tpu.audio.code2wav import (
+    Code2WavConfig,
+    code2wav_decode,
+    from_torch_state_dict,
+    init_code2wav_params,
+    torch_name_map,
+)
+
 
 @dataclass(frozen=True)
 class CodecConfig:
+    """Serving-level codec config: the Code2Wav decoder architecture fields
+    (defaults == the full-size upstream config) + the assumed encoder."""
+
     num_codebooks: int = 16
     codebook_size: int = 2048
+    # decoder (Code2Wav) architecture — see audio/code2wav.py
+    hidden_size: int = 1024
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    intermediate_size: int = 3072
+    sliding_window: int = 72
+    decoder_dim: int = 1536
+    upsample_rates: tuple = (8, 5, 4, 3)
+    upsampling_ratios: tuple = (2, 2)
+    # encoder (assumed architecture; voice-clone reference path only)
     latent_dim: int = 512
     base_channels: int = 96
-    upsample_rates: tuple = (8, 6, 5, 8)  # product == hop
     sample_rate: int = 24000
     # decode matmul precision: "float32" (default; exact) or "bfloat16"
-    # (2.1x faster batched decode on v5e at ~0.25% waveform error — opt in
-    # for throughput-bound serving)
+    # (faster batched decode on v5e — opt in for throughput-bound serving)
     compute_dtype: str = "float32"
 
     @property
     def hop(self) -> int:
         h = 1
-        for r in self.upsample_rates:
+        for r in tuple(self.upsample_rates) + tuple(self.upsampling_ratios):
             h *= r
         return h
 
@@ -61,9 +88,45 @@ class CodecConfig:
     def frame_rate(self) -> float:
         return self.sample_rate / self.hop  # 12.5 Hz
 
+    def code2wav(self) -> Code2WavConfig:
+        return Code2WavConfig(
+            codebook_size=self.codebook_size,
+            num_quantizers=self.num_codebooks,
+            hidden_size=self.hidden_size,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            num_key_value_heads=self.num_key_value_heads,
+            intermediate_size=self.intermediate_size,
+            sliding_window=self.sliding_window,
+            decoder_dim=self.decoder_dim,
+            upsample_rates=tuple(self.upsample_rates),
+            upsampling_ratios=tuple(self.upsampling_ratios),
+            sample_rate=self.sample_rate,
+        )
+
+    @staticmethod
+    def tiny(**kw) -> "CodecConfig":
+        """Small same-structure config for CPU tests/examples/smoke legs."""
+        base = dict(
+            codebook_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            intermediate_size=64, sliding_window=8, decoder_dim=32,
+            upsample_rates=(4, 5, 4, 4), upsampling_ratios=(2, 2),
+            latent_dim=32, base_channels=8,
+        )
+        base.update(kw)
+        return CodecConfig(**base)
+
+    @property
+    def encoder_strides(self) -> tuple:
+        """Analysis strides (assumed): the synthesis rates reversed."""
+        return tuple(
+            reversed(tuple(self.upsample_rates) + tuple(self.upsampling_ratios))
+        )
+
 
 # ---------------------------------------------------------------------------
-# conv primitives (NCT layout, causal)
+# conv primitives for the (assumed) encoder (NCT layout, causal)
 # ---------------------------------------------------------------------------
 
 
@@ -81,110 +144,8 @@ def conv1d(x, w, b, dilation: int = 1, stride: int = 1):
     return y + b[None, :, None]
 
 
-def conv_transpose1d(x, w, b, stride: int):
-    """Upsampling transposed conv, trimmed to exactly T*stride (causal-ish).
-
-    x [B, C, T], w [I, O, K] with K = 2*stride.
-    """
-    k = w.shape[-1]
-    # FULL padding -> length (T-1)*stride + K; output[n] depends only on
-    # input[t <= n // stride], so keeping the first T*stride samples is a
-    # causal upsampler.
-    y = jax.lax.conv_transpose(
-        x, w,
-        strides=(stride,),
-        padding=[(k - 1, k - 1)],
-        dimension_numbers=("NCH", "IOH", "NCH"),
-    )
-    T = x.shape[-1]
-    y = y[..., : T * stride]
-    return y + b[None, :, None]
-
-
 def _elu(x):
     return jax.nn.elu(x)
-
-
-# ---------------------------------------------------------------------------
-# MXU-formulated decode primitives (channels-last)
-#
-# XLA lowers small-channel NCT conv1ds to padded convolutions that run the
-# TPU MXU at <1% utilization (measured 34 ms for a 12-frame decode window).
-# The same math expressed as channels-last matmuls — im2col for K-tap convs,
-# a two-matmul split for stride-r transposed convs — is MXU-shaped: rows are
-# time steps, the contraction dim is (K*C_in). Numerically identical to the
-# lax.conv path (tests/test_audio.py pins them together); measured >10x
-# faster for the decode window on v5e.
-# ---------------------------------------------------------------------------
-
-
-def conv1d_mm(x, w, b, dilation: int = 1):
-    """Causal K-tap conv as K accumulated matmuls. x [B,T,C], w [O,I,K].
-
-    Shifted-dots instead of one im2col matmul: the im2col concat
-    materializes a [B, T, K*C] buffer (hundreds of MB at waveform-rate T),
-    while K dots over shifted views read the input in place — measured 11%
-    faster for the batch-8 12-frame decode window on v5e, and it unlocks
-    the bf16 compute path (2.1x) without giant intermediate buffers."""
-    k = w.shape[-1]
-    if k == 1:
-        return x @ w[:, :, 0].T + b
-    pad = (k - 1) * dilation
-    xp = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
-    T = x.shape[1]
-    # tap j sees input at t - (k-1-j)*d == xp[t + j*d]
-    y = None
-    for j in range(k):
-        yj = xp[:, j * dilation : j * dilation + T, :] @ w[:, :, j].T
-        y = yj if y is None else y + yj
-    return y + b
-
-
-def conv_transpose1d_mm(x, w, b, stride: int):
-    """Stride-r transposed conv (K=2r, trimmed to T*r) as two matmuls.
-
-    Matches conv_transpose1d: y[m*r+j] = x[m]@Wf[j] + x[m-1]@Wf[r+j] where
-    Wf is the kernel flipped along K (lax.conv_transpose does not flip).
-    x [B,T,C], w [I,O,K].
-    """
-    r = stride
-    I, O, K = w.shape
-    assert K == 2 * r, (K, r)
-    wf = w[:, :, ::-1]  # [I, O, 2r]; tap j of wf multiplies x[t] into y[t*r+j]
-    wa = jnp.transpose(wf[:, :, :r], (0, 2, 1)).reshape(I, r * O)
-    wb = jnp.transpose(wf[:, :, r:], (0, 2, 1)).reshape(I, r * O)
-    B, T, _ = x.shape
-    ya = x @ wa  # [B, T, r*O]
-    x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
-    yb = x_prev @ wb
-    return (ya + yb).reshape(B, T * r, O) + b
-
-
-def _res_unit_mm(x, ru, dil):
-    h = _elu(x)
-    h = conv1d_mm(h, ru["w1"], ru["b1"], dilation=dil)
-    h = _elu(h)
-    h = conv1d_mm(h, ru["w2"], ru["b2"])
-    return x + h
-
-
-def decode_latent_mm(params, lat, rates, compute_dtype=jnp.float32):
-    """decode_latent with MXU-formulated primitives. lat [B, D, T]."""
-    c = lambda a: a.astype(compute_dtype)  # noqa: E731
-    x = c(jnp.swapaxes(lat, 1, 2))  # [B, T, D]
-    x = conv1d_mm(x, c(params["dec_in_w"]), c(params["dec_in_b"]))
-    for block, r in zip(params["dec_blocks"], rates):
-        x = _elu(x)
-        x = conv_transpose1d_mm(x, c(block["up_w"]), c(block["up_b"]), r)
-        for ru, dil in zip(block["res"], RES_DILATIONS):
-            h = _elu(x)
-            h = conv1d_mm(h, c(ru["w1"]), c(ru["b1"]), dilation=dil)
-            h = _elu(h)
-            h = conv1d_mm(h, c(ru["w2"]), c(ru["b2"]))
-            x = x + h
-    x = _elu(x)
-    x = conv1d_mm(x, c(params["dec_out_w"]), c(params["dec_out_b"]))
-    return jnp.tanh(jnp.swapaxes(x, 1, 2).astype(jnp.float32))  # [B,1,T*hop]
 
 
 # ---------------------------------------------------------------------------
@@ -197,65 +158,53 @@ def _conv_w(key, o, i, k, scale=None):
     return jax.random.normal(key, (o, i, k), jnp.float32) * scale
 
 
-def init_codec_params(cfg: CodecConfig, key) -> dict:
-    ks = iter(jax.random.split(key, 200))
-    C0 = cfg.base_channels * 8  # 768
+ENC_RES_DILATIONS = (1, 3)
+
+
+def init_encoder_params(cfg: CodecConfig, key) -> dict:
+    """The assumed analysis half: strided SEANet-style ConvNet + RVQ
+    codebooks (upstream encoder architecture is not public)."""
+    ks = iter(jax.random.split(key, 100))
+    C0 = cfg.base_channels * 8
     params = {
         "codebooks": jax.random.normal(
             next(ks), (cfg.num_codebooks, cfg.codebook_size, cfg.latent_dim)
         )
         * 0.05,
-        "dec_in_w": _conv_w(next(ks), C0, cfg.latent_dim, 7),
-        "dec_in_b": jnp.zeros(C0),
-        "dec_blocks": [],
-        "dec_out_w": _conv_w(next(ks), 1, cfg.base_channels, 7),
-        "dec_out_b": jnp.zeros(1),
         "enc_in_w": _conv_w(next(ks), cfg.base_channels, 1, 7),
         "enc_in_b": jnp.zeros(cfg.base_channels),
         "enc_blocks": [],
         "enc_out_w": _conv_w(next(ks), cfg.latent_dim, C0, 7),
         "enc_out_b": jnp.zeros(cfg.latent_dim),
     }
-    ch = C0
-    for r in cfg.upsample_rates:
-        out_ch = max(cfg.base_channels, ch // 2)
-        block = {
-            "up_w": jax.random.normal(next(ks), (ch, out_ch, 2 * r), jnp.float32)
-            * (1.0 / np.sqrt(ch * 2 * r)),
-            "up_b": jnp.zeros(out_ch),
-            "res": [],
-        }
-        for _dil in (1, 3):
-            block["res"].append(
-                {
-                    "w1": _conv_w(next(ks), out_ch, out_ch, 7),
-                    "b1": jnp.zeros(out_ch),
-                    "w2": _conv_w(next(ks), out_ch, out_ch, 1),
-                    "b2": jnp.zeros(out_ch),
-                }
-            )
-        params["dec_blocks"].append(block)
-        ch = out_ch
-    # encoder mirrors in reverse
     ch = cfg.base_channels
-    for r in reversed(cfg.upsample_rates):
+    for r in cfg.encoder_strides:
         out_ch = min(C0, ch * 2)
-        block = {
-            "down_w": _conv_w(next(ks), out_ch, ch, 2 * r),
-            "down_b": jnp.zeros(out_ch),
-            "res": [
-                {
-                    "w1": _conv_w(next(ks), ch, ch, 7),
-                    "b1": jnp.zeros(ch),
-                    "w2": _conv_w(next(ks), ch, ch, 1),
-                    "b2": jnp.zeros(ch),
-                }
-                for _d in (1, 3)
-            ],
-        }
-        params["enc_blocks"].append(block)
+        params["enc_blocks"].append(
+            {
+                "down_w": _conv_w(next(ks), out_ch, ch, 2 * r),
+                "down_b": jnp.zeros(out_ch),
+                "res": [
+                    {
+                        "w1": _conv_w(next(ks), ch, ch, 7),
+                        "b1": jnp.zeros(ch),
+                        "w2": _conv_w(next(ks), ch, ch, 1),
+                        "b2": jnp.zeros(ch),
+                    }
+                    for _d in ENC_RES_DILATIONS
+                ],
+            }
+        )
         ch = out_ch
     return params
+
+
+def init_codec_params(cfg: CodecConfig, key) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "decoder": init_code2wav_params(cfg.code2wav(), k1),
+        "encoder": init_encoder_params(cfg, k2),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +212,11 @@ def init_codec_params(cfg: CodecConfig, key) -> dict:
 # ---------------------------------------------------------------------------
 
 
-RES_DILATIONS = (1, 3)  # structural: res unit j uses dilation RES_DILATIONS[j]
+def codec_decode(params, codes, cfg: CodecConfig, compute_dtype=jnp.float32):
+    """codes [B, NB, T] -> wav [B, out_len(T)] float32 (Code2Wav decoder)."""
+    return code2wav_decode(
+        params["decoder"], codes, cfg.code2wav(), compute_dtype
+    )
 
 
 def _res_unit(x, ru, dil):
@@ -274,53 +227,22 @@ def _res_unit(x, ru, dil):
     return x + h
 
 
-def codes_to_latent(params, codes):
-    """codes [B, NB, T] int -> latent [B, D, T] (sum of codebook embeddings)."""
-    cb = params["codebooks"]  # [NB, V, D]
-    parts = [cb[i][codes[:, i]] for i in range(cb.shape[0])]  # each [B, T, D]
-    lat = jnp.sum(jnp.stack(parts), axis=0)  # [B, T, D]
-    return jnp.swapaxes(lat, 1, 2)
-
-
-def decode_latent(params, lat, rates):
-    x = conv1d(lat, params["dec_in_w"], params["dec_in_b"])
-    for block, r in zip(params["dec_blocks"], rates):
-        x = _elu(x)
-        x = conv_transpose1d(x, block["up_w"], block["up_b"], r)
-        for ru, dil in zip(block["res"], RES_DILATIONS):
-            x = _res_unit(x, ru, dil)
-    x = _elu(x)
-    x = conv1d(x, params["dec_out_w"], params["dec_out_b"])
-    return jnp.tanh(x)  # [B, 1, T*hop]
-
-
-def codec_decode(params, codes, rates=(8, 6, 5, 8), impl="mm",
-                 compute_dtype=jnp.float32):
-    """codes [B, NB, T] -> wav [B, T*hop] float32.
-
-    impl="mm" (default) uses the MXU matmul formulation; impl="conv" is the
-    reference lax.conv path (identical numerics, kept for tests)."""
-    lat = codes_to_latent(params, codes)
-    if impl == "mm":
-        return decode_latent_mm(params, lat, rates, compute_dtype)[:, 0, :]
-    return decode_latent(params, lat, rates)[:, 0, :]
-
-
-def encode_latent(params, wav, rates=(8, 6, 5, 8)):
+def encode_latent(params, wav, cfg: CodecConfig):
     """wav [B, 1, T*hop] -> latent [B, D, T]."""
-    x = conv1d(wav, params["enc_in_w"], params["enc_in_b"])
-    for block, r in zip(params["enc_blocks"], reversed(rates)):
-        for ru, dil in zip(block["res"], RES_DILATIONS):
+    enc = params["encoder"]
+    x = conv1d(wav, enc["enc_in_w"], enc["enc_in_b"])
+    for block, r in zip(enc["enc_blocks"], cfg.encoder_strides):
+        for ru, dil in zip(block["res"], ENC_RES_DILATIONS):
             x = _res_unit(x, ru, dil)
         x = _elu(x)
         x = conv1d(x, block["down_w"], block["down_b"], stride=r)
     x = _elu(x)
-    return conv1d(x, params["enc_out_w"], params["enc_out_b"])
+    return conv1d(x, enc["enc_out_w"], enc["enc_out_b"])
 
 
 def rvq_quantize(params, lat):
     """Residual VQ: latent [B, D, T] -> codes [B, NB, T]."""
-    cb = params["codebooks"]  # [NB, V, D]
+    cb = params["encoder"]["codebooks"]  # [NB, V, D]
     x = jnp.swapaxes(lat, 1, 2)  # [B, T, D]
     residual = x
     codes = []
@@ -337,16 +259,16 @@ def rvq_quantize(params, lat):
     return jnp.stack(codes, axis=1).astype(jnp.int32)  # [B, NB, T]
 
 
-def codec_encode(params, wav, rates=(8, 6, 5, 8)):
+def codec_encode(params, wav, cfg: CodecConfig):
     """wav [B, samples] -> codes [B, NB, T] (samples truncated to hop grid)."""
-    return rvq_quantize(params, encode_latent(params, wav[:, None, :], rates))
+    return rvq_quantize(params, encode_latent(params, wav[:, None, :], cfg))
 
 
 # ---------------------------------------------------------------------------
 # SpeechTokenizer wrapper (API parity with utils/audio.py SpeechTokenizer)
 # ---------------------------------------------------------------------------
 
-_LENGTH_BUCKETS = (8, 16, 32, 64, 128, 256, 350)
+_LENGTH_BUCKETS = (8, 16, 32, 64, 128, 256, 360)
 
 
 class SpeechTokenizer:
@@ -371,30 +293,45 @@ class SpeechTokenizer:
         )
         self.sample_rate = self.cfg.sample_rate
         cdt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        self._decode_jit = jax.jit(
-            partial(codec_decode, rates=self.cfg.upsample_rates,
-                    compute_dtype=cdt)
-        )
+
+        def _decode(params, codes):
+            return codec_decode(params, codes, self.cfg, compute_dtype=cdt)
+
+        self._decode_jit = jax.jit(_decode)
+
         def _decode_pcm16(params, codes):
-            wav = codec_decode(params, codes, rates=self.cfg.upsample_rates,
-                               compute_dtype=cdt)
+            wav = codec_decode(params, codes, self.cfg, compute_dtype=cdt)
             return jnp.round(
                 jnp.clip(wav, -1.0, 1.0) * 32767.0
             ).astype(jnp.int16)
 
         # int16 on device: halves the device->host transfer for streaming
         self._decode_pcm16_jit = jax.jit(_decode_pcm16)
-        self._encode_jit = jax.jit(
-            partial(codec_encode, rates=self.cfg.upsample_rates)
-        )
+
+        def _encode(params, wav):
+            return codec_encode(params, wav, self.cfg)
+
+        self._encode_jit = jax.jit(_encode)
 
     # -- helpers ------------------------------------------------------------
 
     def _bucket(self, t: int) -> int:
+        # STRICTLY greater: the decoder loses a few-hundred-sample tail
+        # (out_len(T) = hop*T - c), so >= one pad frame guarantees hop*T
+        # valid samples for T real frames.
         for b in _LENGTH_BUCKETS:
-            if t <= b:
+            if t < b:
                 return b
-        return ((t + 349) // 350) * 350
+        return ((t // 360) + 1) * 360
+
+    def _pad_codes(self, arr: np.ndarray, tb: int) -> np.ndarray:
+        """Pad [B, NB, T] to T=tb by repeating the final frame (sustained
+        audio keeps the one-step-lookahead tail well-conditioned)."""
+        B, NB, T = arr.shape
+        padded = np.empty((B, NB, tb), np.int32)
+        padded[:, :, :T] = arr
+        padded[:, :, T:] = arr[:, :, -1:]
+        return padded
 
     @staticmethod
     def normalize_codes(codes) -> np.ndarray:
@@ -430,9 +367,7 @@ class SpeechTokenizer:
         """codes (any accepted form) -> (list of float32 wavs, sample_rate)."""
         arr = self.normalize_codes(codes)
         B, NB, T = arr.shape
-        tb = self._bucket(T)
-        padded = np.zeros((B, NB, tb), np.int32)
-        padded[:, :, :T] = arr
+        padded = self._pad_codes(arr, self._bucket(T))
         wav = self._fetch(self._decode_jit(self.params, jnp.asarray(padded)))
         n = T * self.cfg.hop
         return [wav[b, :n] for b in range(B)], self.sample_rate
@@ -461,9 +396,7 @@ class SpeechTokenizer:
         work behind the transfer."""
         arr = self.normalize_codes(codes)
         B, NB, T = arr.shape
-        tb = self._bucket(T)
-        padded = np.zeros((B, NB, tb), np.int32)
-        padded[:, :, :T] = arr
+        padded = self._pad_codes(arr, self._bucket(T))
         dev = self._decode_pcm16_jit(self.params, jnp.asarray(padded))
         try:
             dev.copy_to_host_async()
@@ -474,8 +407,9 @@ class SpeechTokenizer:
     def chunked_decode(
         self, codes, chunk_size: int = 300, left_context: int = 25
     ) -> tuple[list[np.ndarray], int]:
-        """Overlap-window decode of long sequences
-        (speech_tokenizer_cudagraph.py:127-157)."""
+        """Overlap-window decode of long sequences (the upstream
+        ``Code2Wav.chunked_decode`` policy; also
+        speech_tokenizer_cudagraph.py:127-157)."""
         arr = self.normalize_codes(codes)
         B, NB, T = arr.shape
         outs = []
@@ -507,18 +441,18 @@ class SpeechTokenizer:
 
 def load_codec(model_path: str) -> SpeechTokenizer:
     """Load codec weights from <model_path>/codec.safetensors if present,
-    else seeded random weights (documented limitation: the upstream codec
-    checkpoint format is unavailable in this environment).
+    else seeded random weights of the same (real) decoder architecture.
 
-    Serving default is bfloat16 decode compute (2.1x batched decode on v5e
-    at ~0.25% waveform error, ≈ -52 dB — below audibility); set
-    CODEC_COMPUTE_DTYPE=float32 for bit-exact decode. The library-level
-    CodecConfig default stays float32 so direct users and tests get exact
-    numerics unless they opt in."""
+    Serving default is float32 decode compute: with the real Code2Wav
+    architecture the decode stack is deep enough that bf16 fidelity can
+    only be judged against REAL weights (random weights saturate the head
+    and amplify chaotically — ~26% relative RMS, meaningless either way).
+    CODEC_COMPUTE_DTYPE=bfloat16 opts into the faster path once real
+    weights exist to validate it."""
     import os
 
     path = os.path.join(model_path, "codec.safetensors")
-    cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "bfloat16")
+    cdt = os.environ.get("CODEC_COMPUTE_DTYPE", "float32")
     if cdt not in ("float32", "bfloat16"):
         # near-miss spellings ('bf16', 'fp32') would otherwise silently
         # select the wrong compute path (ADVICE r1)
@@ -532,8 +466,8 @@ def load_codec(model_path: str) -> SpeechTokenizer:
         flat = {}
         with safe_open(path, framework="np") as f:
             for k in f.keys():
-                flat[k] = jnp.asarray(f.get_tensor(k))
-        params = _unflatten(flat)
+                flat[k] = f.get_tensor(k)
+        params = _unflatten(flat, cfg)
         return SpeechTokenizer(cfg, params)
     return SpeechTokenizer(cfg)
 
@@ -552,23 +486,51 @@ def _param_key(path) -> str:
     return ".".join(parts)
 
 
-def flatten_codec_params(params: dict) -> dict:
-    """Pytree -> {dotted_key: array} for safetensors serialization."""
+def flatten_codec_params(params: dict, cfg: Optional[CodecConfig] = None) -> dict:
+    """-> {name: array} for safetensors serialization.
+
+    Decoder tensors are emitted under the UPSTREAM torch names and layouts
+    (torch_name_map) so codec.safetensors IS a torch-layout Code2Wav state
+    dict; encoder tensors go under an ``encoder.`` prefix with this repo's
+    dotted-path names."""
     import jax.tree_util as jtu
 
-    leaves = jtu.tree_flatten_with_path(params)[0]
-    return {_param_key(path): np.asarray(leaf) for path, leaf in leaves}
+    cfg = cfg or CodecConfig()
+    # forward layouts (code2wav._apply_layout) are pure transposes; invert
+    back = {
+        "id": lambda a: a,
+        "t": lambda a: a.T,
+        "c": lambda a: np.transpose(a, (2, 1, 0)),
+        "tc": lambda a: np.transpose(a, (1, 2, 0)),
+        "dw": lambda a: np.transpose(a, (1, 0))[:, None, :],
+    }
+    out = {}
+    dec = params["decoder"]
+    for name, (path, how) in torch_name_map(cfg.code2wav()).items():
+        node = dec
+        for p in path:
+            node = node[p]
+        out[name] = back[how](np.asarray(node))
+    leaves = jtu.tree_flatten_with_path(params["encoder"])[0]
+    for path, leaf in leaves:
+        out["encoder." + _param_key(path)] = np.asarray(leaf)
+    return out
 
 
 def _unflatten(flat: dict, cfg: Optional[CodecConfig] = None) -> dict:
-    """Rebuild the params pytree from dotted keys using the init structure
-    as a template (codec params mix dicts and lists)."""
+    """Rebuild the params pytree from a codec.safetensors mapping: decoder
+    via the upstream-name state dict (fail-loud), encoder via the init
+    template."""
     import jax.tree_util as jtu
 
-    template = init_codec_params(cfg or CodecConfig(), jax.random.PRNGKey(0))
-    leaves, treedef = jtu.tree_flatten_with_path(template)
+    cfg = cfg or CodecConfig()
+    dec_sd = {k: v for k, v in flat.items() if not k.startswith("encoder.")}
+    decoder = from_torch_state_dict(dec_sd, cfg.code2wav())
+    template = init_encoder_params(cfg, jax.random.PRNGKey(0))
+    leaves, _ = jtu.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in leaves:
-        key = _param_key(path)
+        key = "encoder." + _param_key(path)
         new_leaves.append(jnp.asarray(flat[key]))
-    return jtu.tree_unflatten(jtu.tree_structure(template), new_leaves)
+    encoder = jtu.tree_unflatten(jtu.tree_structure(template), new_leaves)
+    return {"decoder": decoder, "encoder": encoder}

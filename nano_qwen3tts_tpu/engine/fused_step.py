@@ -233,13 +233,24 @@ def _expand0(tree):
     return jax.tree.map(lambda a: a[None], tree)
 
 
+def _shard_map_axes(mesh) -> dict:
+    """shard_map kwargs for the data-sharded step: manual over "data" with
+    the model axis left to GSPMD when tp>1. When the model axis is 1 the
+    map is FULLY manual — required for the Pallas burst kernels inside the
+    shard body (Mosaic custom calls refuse to run under an auto axis, even
+    a size-1 one: "Mosaic kernels cannot be automatically partitioned")."""
+    if int(mesh.shape["model"]) > 1:
+        return {"axis_names": {"data"}}  # model stays GSPMD-auto
+    return {}  # all axes manual
+
+
 def make_data_sharded_decode_multi_step(
     tspec, pspec, block_size, trail_len, dtype, n_frames, mesh,
     attn_impl="xla", predictor_impl="xla",
 ):
     """shard_map-wrapped ``make_decode_multi_step``: args/results carry a
     leading [n_data] dim sharded over "data"; weights stay replicated on
-    "data" (GSPMD-sharded on "model")."""
+    "data" (GSPMD-sharded on "model" when tp>1)."""
     from jax.sharding import PartitionSpec as P
 
     local = make_decode_multi_step(
@@ -263,8 +274,8 @@ def make_data_sharded_decode_multi_step(
         mesh=mesh,
         in_specs=(P(), P(), d, d, d, d, d, d, d),
         out_specs=(d, d, d, d, d, d),
-        axis_names={"data"},  # model axis stays GSPMD-auto
         check_vma=False,
+        **_shard_map_axes(mesh),
     )
 
 
@@ -294,6 +305,6 @@ def make_data_sharded_prefill_step(
         mesh=mesh,
         in_specs=(P(), P(), d, d, d, d, d, d, d, P()),
         out_specs=(d, d, d, d),
-        axis_names={"data"},
         check_vma=False,
+        **_shard_map_axes(mesh),
     )

@@ -184,12 +184,19 @@ class Qwen3TTSInterface:
     # ------------------------------------------------------------------
 
     def extract_speaker_embedding(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """x-vector from reference audio (reference interface.py:558-589,
+        always real ECAPA weights). Refuses to run without them: a
+        random-init encoder would return garbage embeddings that clone a
+        nonexistent voice with no error signal."""
         assert sr == 24000, "Only support 24kHz audio"
         if self.speaker_encoder is None:
-            from nano_qwen3tts_tpu.audio.speaker import SpeakerEncoder
-
-            self.speaker_encoder = SpeakerEncoder(
-                self.model_config.speaker_encoder_config
+            raise ValueError(
+                "no speaker-encoder weights loaded: voice clone x-vectors "
+                "need real ECAPA weights. Convert them with "
+                "`python tools/convert_checkpoint.py --speaker <ckpt> "
+                f"--out {self.model_path or '<model_dir>'}/speaker.safetensors` "
+                "(or embed speaker_encoder.* in model.safetensors), or pass "
+                "a precomputed voice-clone prompt instead."
             )
         return self.speaker_encoder.extract(audio, sr)
 

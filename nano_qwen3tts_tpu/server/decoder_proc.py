@@ -80,7 +80,7 @@ class DecoderProcess:
 
         if speech_tokenizer is not None:
             cfg = speech_tokenizer.cfg
-            flat = flatten_codec_params(speech_tokenizer.params)
+            flat = flatten_codec_params(speech_tokenizer.params, cfg)
         else:
             assert cfg is not None, "need a SpeechTokenizer or a CodecConfig"
             flat = None

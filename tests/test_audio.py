@@ -66,11 +66,7 @@ class TestMel:
 
 @pytest.fixture(scope="module")
 def codec():
-    cfg = CodecConfig(
-        num_codebooks=16, codebook_size=64, latent_dim=32, base_channels=8,
-        upsample_rates=(4, 5, 4, 4),  # hop 320 — small for CPU tests
-    )
-    return SpeechTokenizer(cfg, seed=0)
+    return SpeechTokenizer(CodecConfig.tiny(), seed=0)
 
 
 class TestCodec:
@@ -83,20 +79,27 @@ class TestCodec:
         wavs2, _ = codec.decode(codes)
         np.testing.assert_array_equal(wavs[0], wavs2[0])
 
-    def test_mm_impl_matches_conv_impl(self, codec, rng):
-        """The MXU matmul decode formulation is the same math as the
-        lax.conv reference path (codec.py conv1d/conv_transpose1d)."""
-        from nano_qwen3tts_tpu.audio.codec import codec_decode
+    def test_decode_is_real_code2wav_architecture(self, codec, rng):
+        """The wrapper decodes through the faithful Code2Wav decoder (the
+        torch-parity oracle lives in tests/test_code2wav_parity.py)."""
+        from nano_qwen3tts_tpu.audio.code2wav import code2wav_decode
 
         codes = rng.integers(0, 64, size=(2, 16, 9)).astype(np.int32)
-        ref = np.asarray(
-            codec_decode(codec.params, codes, codec.cfg.upsample_rates, "conv")
+        direct = np.asarray(
+            code2wav_decode(
+                codec.params["decoder"], codes, codec.cfg.code2wav()
+            )
         )
-        mm = np.asarray(
-            codec_decode(codec.params, codes, codec.cfg.upsample_rates, "mm")
+        wavs, _ = codec.decode(codes)
+        n = 9 * codec.cfg.hop
+        # bucket-pad repeats the last frame; samples clear of the decoder
+        # head's one-step lookahead must agree with the exact-length decode
+        # (atol: different pad shapes compile to different fusion orders,
+        # and random-weight SnakeBeta exp/sin chains amplify fp32 noise)
+        clear = n - 2 * codec.cfg.hop
+        np.testing.assert_allclose(
+            wavs[0][:clear], direct[0][:clear], atol=2e-3
         )
-        scale = np.abs(ref).max()
-        np.testing.assert_allclose(mm, ref, atol=2e-2 * scale)
 
     def test_decode_accepts_chunk_list(self, codec, rng):
         chunks = [list(rng.integers(0, 64, size=16)) for _ in range(5)]
@@ -104,24 +107,37 @@ class TestCodec:
         assert wavs[0].shape == (5 * codec.cfg.hop,)
 
     def test_bucketing_transparent(self, codec, rng):
-        """Same codes decoded at different pad buckets must agree (causal)."""
+        """Same codes decoded at different pad buckets agree everywhere the
+        decoder head's one-step lookahead cannot see the continuation (the
+        upstream decoder is causal except that lookahead — code2wav.py)."""
         codes = rng.integers(0, 64, size=(1, 16, 7)).astype(np.int32)
         w1, _ = codec.decode(codes)  # bucket 8
-        big = np.zeros((1, 16, 30), np.int32)
+        big = np.repeat(codes[:, :, -1:], 30, axis=2)
         big[:, :, :7] = codes
-        w2, _ = codec.decode(big)  # bucket 32
-        np.testing.assert_allclose(w1[0], w2[0][: len(w1[0])], atol=1e-4)
+        w2, _ = codec.decode(big)  # bucket 32, same continuation
+        np.testing.assert_allclose(w1[0], w2[0][: len(w1[0])], atol=2e-3)
 
     def test_chunked_decode_matches_full(self, codec, rng):
         T = 40
         codes = rng.integers(0, 64, size=(1, 16, T)).astype(np.int32)
         full, _ = codec.decode(codes)
         # left context must exceed the decoder's receptive field (~20 frames;
-        # the production policy uses 25 — speech_tokenizer_cudagraph.py:127)
+        # the production policy uses 25 — the upstream chunked_decode default)
         chunked, _ = codec.chunked_decode(codes, chunk_size=16, left_context=25)
         assert chunked[0].shape == full[0].shape
-        # identical except float noise (causal convs + ample left context)
-        np.testing.assert_allclose(chunked[0], full[0], atol=1e-3)
+        # identical except float noise AWAY from chunk tails: each chunk's
+        # final ~1 frame differs from the full decode because the decoder
+        # head peeks one step past the chunk boundary (inherent to the
+        # upstream streaming policy too — its chunked_decode is the same
+        # approximation).
+        hop = codec.cfg.hop
+        mask = np.ones(T, bool)
+        for e in range(16, T, 16):
+            mask[e - 2 : e] = False
+        sample_mask = np.repeat(mask, hop)
+        np.testing.assert_allclose(
+            chunked[0][sample_mask], full[0][sample_mask], atol=2e-3
+        )
 
     def test_encode_decode_roundtrip_shapes(self, codec, rng):
         wav = rng.standard_normal(10 * codec.cfg.hop).astype(np.float32) * 0.1
@@ -136,24 +152,24 @@ class TestCodec:
         out = codec.decode_window(codes, left_context_frames=4)
         assert out.shape == (6 * codec.cfg.hop,)
 
-    def test_bfloat16_compute_close_to_float32(self, codec, rng):
-        """The serving default (load_codec) decodes with bf16 matmuls; the
-        waveform must stay close to the exact f32 path (production-size
-        codec measures ~0.25% relative RMS; this tiny random-weight test
-        codec sits a bit higher from cancellation, so the gate is 2%)."""
+    def test_bfloat16_compute_path_runs(self, codec, rng):
+        """The opt-in bf16 decode path runs and stays finite/bounded. NOTE:
+        closeness to f32 is NOT asserted — with random weights the real
+        Code2Wav stack saturates and amplifies chaotically (~26% relative
+        RMS, meaningless in both directions), which is exactly why the
+        serving default is float32 until real weights exist to validate
+        bf16 against (load_codec docstring / CODEC_ARCH.md)."""
         import dataclasses
 
         cfg16 = dataclasses.replace(codec.cfg, compute_dtype="bfloat16")
         codec16 = SpeechTokenizer(cfg16, codec.params)
         codes = rng.integers(0, 64, size=(2, 16, 12)).astype(np.int32)
-        ref, _ = codec.decode(codes)
         out, _ = codec16.decode(codes)
-        for r, o in zip(ref, out):
-            rms = float(np.sqrt(np.mean(r**2))) + 1e-9
-            err = float(np.sqrt(np.mean((o - r) ** 2)))
-            assert err / rms < 2e-2, err / rms
+        for o in out:
+            assert np.isfinite(o).all()
+            assert np.abs(o).max() <= 1.0
 
-    def test_load_codec_serving_default_is_bf16(self, tmp_path, monkeypatch):
+    def test_load_codec_serving_default_is_f32(self, tmp_path, monkeypatch):
         """Env plumbing only — stub out the (production-size) random init so
         the test doesn't build tens of millions of params (ADVICE r1)."""
         import nano_qwen3tts_tpu.audio.codec as codec_mod
@@ -168,10 +184,10 @@ class TestCodec:
         monkeypatch.setattr(codec_mod, "SpeechTokenizer", _Stub)
         monkeypatch.delenv("CODEC_COMPUTE_DTYPE", raising=False)
         load_codec(str(tmp_path))
-        assert seen["cfg"].compute_dtype == "bfloat16"
-        monkeypatch.setenv("CODEC_COMPUTE_DTYPE", "float32")
-        load_codec(str(tmp_path))
         assert seen["cfg"].compute_dtype == "float32"
+        monkeypatch.setenv("CODEC_COMPUTE_DTYPE", "bfloat16")
+        load_codec(str(tmp_path))
+        assert seen["cfg"].compute_dtype == "bfloat16"
         # near-miss spellings fail loudly instead of silently picking f32
         monkeypatch.setenv("CODEC_COMPUTE_DTYPE", "bf16")
         with pytest.raises(ValueError, match="CODEC_COMPUTE_DTYPE"):

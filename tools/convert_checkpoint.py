@@ -4,8 +4,14 @@ The serving engine loads four weight families:
 
   model.safetensors       talker + code-predictor transformers (loaded
                           directly — reference key layout, models/weights.py)
-  codec.safetensors       neural codec (SpeechTokenizer), FLAT dotted-key
-                          schema = flatten of audio.codec.init_codec_params
+  codec.safetensors       neural codec (SpeechTokenizer): decoder tensors
+                          under the UPSTREAM torch Code2Wav names/layouts
+                          (audio/code2wav.torch_name_map — pinned against
+                          the real torch module in
+                          tests/test_code2wav_parity.py) + ``encoder.*``
+                          tensors in this repo's dotted schema (the
+                          upstream encoder has no public implementation —
+                          CODEC_ARCH.md)
   speaker.safetensors     ECAPA-TDNN speaker encoder, FLAT dotted-key schema
                           = flatten of audio.speaker.init_speaker_encoder_params
 
@@ -108,7 +114,9 @@ def codec_schema(cfg=None):
     )
 
     cfg = cfg or CodecConfig()
-    return flatten_codec_params(init_codec_params(cfg, jax.random.PRNGKey(0)))
+    return flatten_codec_params(
+        init_codec_params(cfg, jax.random.PRNGKey(0)), cfg
+    )
 
 
 def convert(kind: str, src: str, out: str, rename_map: str | None):

@@ -61,7 +61,11 @@ def build(quantization, int8_mode=None, kv="int8", attn="auto"):
         os.environ.pop("INT8_MODE", None)
     cfg = preset_config("1.7b")
     tc = cfg.talker_config
+    # ABLATION_DATA_SHARDED=force measures the shard_map serving path on the
+    # single chip (burst kernels per data shard — the dp-mesh deploy shape)
+    ds = os.environ.get("ABLATION_DATA_SHARDED", "auto")
     ecfg = EngineConfig(
+        data_sharded=ds,
         max_model_len=1024,
         kvcache_block_size=1024 if attn == "auto" else 128,
         attention_impl=attn,
