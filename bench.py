@@ -220,8 +220,48 @@ def bench_codec(smoke: bool) -> float:
     return (time.time() - t0) / (reps + depth)
 
 
+def bench_first_chunk(engine, tc, ccu: int = 8, chunk_frames: int = 4,
+                      codec_s: float = 0.0):
+    """p50 submit->first-PCM-chunk latency at `ccu` concurrent arrivals
+    (north-star metric; reference README.md:94-103 measures the same thing
+    over HTTP). Engine-level: prefill + enough decode dispatches for the
+    server's 4-code first chunk, plus the measured codec window decode
+    time (codec_s) for the chunk itself. Programs must already be warm."""
+    rng = np.random.default_rng(7)
+    t_submit, t_first, got = {}, {}, {}
+    for _ in range(ccu):
+        rid = engine.add_request(
+            (rng.standard_normal((64, tc.hidden_size)) * 0.3).astype(np.float32),
+            (rng.standard_normal((16, tc.hidden_size)) * 0.3).astype(np.float32),
+            max_frames=chunk_frames + engine.cfg.frames_per_step,
+            ignore_eos=True,
+        )
+        t_submit[rid] = time.time()
+        got[rid] = 0
+    guard = 0
+    while engine.has_work() and len(t_first) < ccu:
+        for rid, frame, _fin in engine.step():
+            if isinstance(frame, list):
+                got[rid] = got.get(rid, 0) + 1
+                if got[rid] >= chunk_frames and rid not in t_first:
+                    t_first[rid] = time.time()
+        guard += 1
+        if guard > 200:
+            break
+    while engine.has_work():  # drain remaining frames
+        engine.step()
+        guard += 1
+        if guard > 400:
+            break
+    lat = sorted(t_first[r] - t_submit[r] for r in t_first)
+    if not lat:
+        return None
+    return float(np.median(lat)) + codec_s
+
+
 _RESULT: dict = {}
 _PRINTED = [False]
+_DEC_S = [0.0]  # measured codec window decode seconds (first-chunk leg)
 
 
 def emit_result():
@@ -284,6 +324,7 @@ def main():
         if time_left() < 45:
             raise TimeoutError(f"codec leg skipped: {time_left():.0f}s left")
         dec_s = bench_codec(smoke)
+        _DEC_S[0] = dec_s
         log(f"codec window decode (12-frame window, pipelined): {dec_s*1e3:.1f} ms")
         rtf_total = rtf_1 + dec_s / (12 * FRAME_SECONDS)
         _RESULT["value"] = round(rtf_total, 4)
@@ -305,6 +346,21 @@ def main():
         if smoke or time_left() < 60:
             raise TimeoutError("skipping batch-8 leg")
         engine.runner.warmup(decode_buckets=(8,), prefill_shapes=[(pb, tb)])
+
+        # first-chunk p50 at 8 CCU (north-star metric; VERDICT r2 next #9):
+        # 8 simultaneous arrivals through the just-warmed prefill + decode
+        # programs; the server's 4-code first chunk + the measured codec
+        # window decode. Cheap (a few dispatches) — run it BEFORE the
+        # 64-frame batch-8 stream so a tight deadline cannot squeeze it out.
+        fc = bench_first_chunk(engine, tc, ccu=8, codec_s=_DEC_S[0])
+        if fc is not None:
+            print(json.dumps({
+                "metric": "first_chunk_p50_8ccu_ms",
+                "value": round(fc * 1e3, 1),
+                "unit": "ms (submit -> 4-frame first PCM chunk, 8 "
+                        "simultaneous arrivals, codec decode included)",
+            }), file=sys.stderr, flush=True)
+
         step_s_8 = run_stream(engine, tc, 8, n_frames)
         rtf_8 = step_s_8 / FRAME_SECONDS
         frames_per_s = 8.0 / step_s_8

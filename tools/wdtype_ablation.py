@@ -133,7 +133,10 @@ def main():
                 f"predictor={engine.runner.predictor_impl})")
             s = measure(engine, tc, batch)
         except Exception as e:
+            import traceback
+
             log(f"leg {name!r} batch {batch} FAILED: {type(e).__name__}: {e}")
+            traceback.print_exc(file=sys.stderr)
             return
         row = {
             "config": name,
