@@ -139,6 +139,31 @@ class TestScheduler:
         assert s.block_manager.num_free_blocks == 31
         assert not s.running
 
+    def test_preemption_targets_same_shard(self):
+        """Data-sharded serving: evicting another shard's sequence cannot
+        free blocks for the blocked one — the victim must come from the
+        SAME shard's pool (engine/scheduler.py schedule loop)."""
+        cfg = EngineConfig(kvcache_block_size=4)
+        s = Scheduler(cfg, num_kvcache_blocks=3, num_shards=2)  # 2 usable/shard
+        a = make_seq(4, "a", 4)
+        b = make_seq(4, "b", 4)   # shard 1 — most recent, but wrong shard
+        c = make_seq(4, "c", 4)   # shard 0 — the correct victim
+        a.data_shard, c.data_shard = 0, 0
+        b.data_shard = 1
+        for q in (a, c, b):
+            s.add(q)
+        batch, _ = s.schedule()
+        s.postprocess_prefill(batch, [1, 1, 1])
+        assert s.block_managers[0].num_free_blocks == 0
+        for q in (a, b, c):
+            s.feed_decode(q.request_id, np.zeros(8, np.float32))
+        batch, is_prefill = s.schedule()
+        assert not is_prefill
+        # a (shard 0) needed a block: c (same shard) evicted, b untouched
+        assert a in batch and b in batch and c not in batch
+        assert c.status == SequenceStatus.WAITING and c.block_table == []
+        assert b.block_table != []
+
     def test_feed_unknown_request(self):
         s = make_sched()
         assert not s.feed_decode("nope", None)
