@@ -117,6 +117,7 @@ def _stack_kernel(
     # inputs
     x_ref,            # [B, D] bf16
     pos_ref,          # [B, 1] int32 rope positions
+    woffv_ref,        # [B, 1] int32 write offsets as a vector (batched masks)
     qkv_q_ref, qkv_s_ref, o_q_ref, o_s_ref,
     gu_q_ref, gu_s_ref, dn_q_ref, dn_s_ref,
     ln1_ref, ln2_ref, qn_ref, kn_ref, fn_ref,
@@ -126,13 +127,18 @@ def _stack_kernel(
     eunp_ref,         # [Hkv*DP, nkv] bf16 0/1 un-pad for new K/V rows
     *rest,
     spec: AttnSpec, num_layers: int, B: int, D: int, block_size: int,
+    batched_attn: bool = False,
 ):
     # rest = ksw, vsw ([B, L, 1, bs] f32 gathered scale windows),
     # kq_hbm, vq_hbm (ANY), then outputs (hid, scl, kq_out, vq_out),
-    # then scratch (h, kbuf, vbuf, rowk, rowv, rsem, wsem)
+    # then scratch (h, kbuf, vbuf, rowk, rowv, rsem, wsem
+    #               [+ kb16, vb16 in batched-attention mode])
     ksw_ref, vsw_ref, kq_hbm, vq_hbm = rest[:4]
     hid_ref, scl_ref, kq_out, vq_out = rest[4:8]
-    h_scr, kbuf, vbuf, rowk, rowv, rsem, wsem = rest[8:]
+    if batched_attn:
+        h_scr, kbuf, vbuf, rowk, rowv, rsem, wsem, kb16, vb16 = rest[8:]
+    else:
+        h_scr, kbuf, vbuf, rowk, rowv, rsem, wsem = rest[8:]
 
     l = pl.program_id(0)
     Hq, Hkv, d = spec.num_heads, spec.num_kv_heads, spec.head_dim
@@ -230,11 +236,123 @@ def _stack_kernel(
         rowk[b, l] = jnp.where(iota8 == roff, kq_new[b : b + 1, :], kwin)
         rowv[b, l] = jnp.where(iota8 == roff, vq_new[b : b + 1, :], vwin)
 
-    # --- attend-with-extension, one lane at a time (B is a small bucket
-    # constant; per-lane blocks sit in this step's DMA buffer)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
+    # --- attend-with-extension. Two formulations of identical math:
+    #
+    # batched (B >= 16): ONE pad-expansion matmul over all lanes'
+    # windows ([B*bs, nkv] @ [nkv, Hkv*DP] — an MXU-shaped contraction
+    # instead of B small ones) and batch-dim dot_generals for
+    # scores/accumulate. The per-lane loop unrolls ~10 vector ops per
+    # lane per group, so its instruction-issue overhead grows linearly
+    # with B — measured 4.52 -> 3.01 ms/frame at B=32 (whole stack).
+    #
+    # per-lane loop (small B): lower latency at B<=8 where the batched
+    # form's big intermediates don't pay for themselves.
     vpad3 = vp.reshape(B, Hkv, DP)
     kpad3 = k  # [B, Hkv, DP] current-token K (padded layout)
+    if batched_attn:
+        # Stage the int8->bf16 window casts in VMEM scratch: as dot_general
+        # operands Mosaic would otherwise hold them live in vregs (measured:
+        # 128M of register spills at B=16).
+        kb16[:] = kbuf[l % 2].astype(jnp.bfloat16)
+        vb16[:] = vbuf[l % 2].astype(jnp.bfloat16)
+        mask3 = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1, block_size), 2)
+            < woffv_ref[:].reshape(B, 1, 1)
+        )
+        sk3 = ksw_ref[:, l].reshape(B, 1, block_size)  # [B, 1, bs] f32
+        sv3 = vsw_ref[:, l].reshape(B, 1, block_size)
+        gouts = []
+        for g in range(Hkv):
+            # scores in the FLAT cache domain: zero-embed the group's
+            # padded q into the nkv columns (eunp's group slice); other
+            # groups' columns are zero, so q_z . k_raw == q_g . k_g with
+            # no pad-expansion of the window at all.
+            qg3 = q[:, g * n_rep : (g + 1) * n_rep, :].astype(jnp.bfloat16)
+            qz = jax.lax.dot_general(
+                qg3.reshape(B * n_rep, DP),
+                eunp_ref.at[pl.ds(g * DP, DP), :][:],     # [DP, nkv]
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16).reshape(B, n_rep, nkv)
+            scores = jax.lax.dot_general(
+                qz, kb16[:], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * (sk3 * spec.scale)                        # [B, n_rep, bs]
+            scores = jnp.where(mask3, scores, NEG_INF)
+            ext = jnp.sum(
+                qg3.astype(jnp.float32)
+                * kpad3[:, g : g + 1].astype(jnp.float32),
+                axis=2, keepdims=True,
+            ) * spec.scale                                # [B, n_rep, 1]
+            m = jnp.maximum(jnp.max(scores, axis=2, keepdims=True), ext)
+            p = jnp.exp(scores - m)
+            pe = jnp.exp(ext - m)
+            denom = jnp.sum(p, axis=2, keepdims=True) + pe
+            acc_flat = jax.lax.dot_general(
+                (p * sv3).astype(jnp.bfloat16), vb16[:],
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                             # [B, n_rep, nkv]
+            # current-token V in the flat domain; other-group columns are
+            # dropped by the epad group-slice below. Divide BEFORE the
+            # (0/1 permutation) epad matmul so the single f32->bf16 round
+            # happens at exactly the same point as the per-lane path —
+            # keeps the two formulations bit-identical.
+            acc_flat = acc_flat + pe * vflat[:, None, :].astype(jnp.float32)
+            acc_pad = jax.lax.dot_general(
+                (acc_flat / denom).astype(jnp.bfloat16).reshape(
+                    B * n_rep, nkv
+                ),
+                epad_ref.at[:, pl.ds(g * DP, DP)][:],     # [nkv, DP]
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(B, n_rep, DP)
+            gouts.append(acc_pad)
+        attn = (
+            jnp.concatenate(gouts, axis=1)
+            .reshape(B, nqp)
+            .astype(jnp.bfloat16)
+        )
+        h = h + _int8_mm(attn, o_q_ref.at[0], o_s_ref.at[0])
+        xn2 = _rms_norm(h, ln2_ref[0], spec.rms_norm_eps)
+        gu = _int8_mm(xn2, gu_q_ref.at[0], gu_s_ref.at[0])  # [B, 2I]
+        I = gu.shape[-1] // 2
+        g_ = gu[:, :I]
+        sig = (1.0 / (1.0 + jnp.exp(-g_.astype(jnp.float32)))).astype(
+            jnp.bfloat16
+        )
+        act = (g_ * sig) * gu[:, I:]
+        h = h + _int8_mm(act, dn_q_ref.at[0], dn_s_ref.at[0])
+        h_scr[:] = h
+
+        @pl.when(l == num_layers - 1)
+        def _emit_b():
+            hid_ref[:] = _rms_norm(h, fn_ref[:], spec.rms_norm_eps)
+
+            def _writes():
+                for b in range(B):
+                    ws = (
+                        tables_ref[b] * block_size
+                        + (woff_ref[b] // WROWS) * WROWS
+                    )
+                    yield pltpu.make_async_copy(
+                        rowk.at[b], kq_out.at[:, pl.ds(ws, WROWS), :],
+                        wsem.at[b, 0],
+                    )
+                    yield pltpu.make_async_copy(
+                        rowv.at[b], vq_out.at[:, pl.ds(ws, WROWS), :],
+                        wsem.at[b, 1],
+                    )
+
+            for dma in _writes():
+                dma.start()
+            for dma in _writes():
+                dma.wait()
+
+        del _init, _prefetch, _emit_b
+        return
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
     attn_rows = []
     for b in range(B):
         sk = ksw_ref[b, l]               # [1, bs] f32 per-slot scales
@@ -484,6 +602,7 @@ def talker_stack_burst(
     in_specs = [
         vmem,  # x
         vmem,  # positions
+        vmem,  # woff vector (batched-attention masks)
         wspec((1,) + qkv_w.q.shape[1:]), wspec((1, 1, qkv_w.s.shape[-1])),
         wspec((1,) + o_w.q.shape[1:]), wspec((1, 1, o_w.s.shape[-1])),
         wspec((1,) + gu_w.q.shape[1:]), wspec((1, 1, gu_w.s.shape[-1])),
@@ -506,9 +625,13 @@ def talker_stack_burst(
     n_before = 2 + len(in_specs) - 2
     aliases = {n_before: 2, n_before + 1: 3}
 
+    import os
+
+    env = os.environ.get("NANO_TTS_BURST_BATCHED_ATTN")
+    batched_attn = (B >= 16) if env is None else env == "1"
     kernel = functools.partial(
         _stack_kernel, spec=spec, num_layers=L, B=B, D=D,
-        block_size=block_size,
+        block_size=block_size, batched_attn=batched_attn,
     )
     hid, scl, kq_new, vq_new = pl.pallas_call(
         kernel,
@@ -530,7 +653,14 @@ def talker_stack_burst(
                 pltpu.VMEM((B, L, WROWS, nkv), jnp.int8),         # rowv
                 pltpu.SemaphoreType.DMA((2, B, 2)),               # read sems
                 pltpu.SemaphoreType.DMA((B, 2)),                  # write sems
-            ],
+            ] + (
+                [
+                    pltpu.VMEM((B, block_size, nkv), jnp.bfloat16),  # kb16
+                    pltpu.VMEM((B, block_size, nkv), jnp.bfloat16),  # vb16
+                ]
+                if batched_attn
+                else []
+            ),
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.bfloat16),
@@ -549,6 +679,7 @@ def talker_stack_burst(
         woff,
         x.astype(jnp.bfloat16),
         positions.reshape(B, 1).astype(jnp.int32),
+        woff.reshape(B, 1),
         qkv_w.q, _mid1(qkv_w.s),
         o_w.q, _mid1(o_w.s),
         gu_w.q, _mid1(gu_w.s),

@@ -294,3 +294,62 @@ class TestInt8KV:
         frames = list(eng.generate(prompt, None, max_frames=5))
         assert 1 <= len(frames) <= 5
         assert all(len(f) == 16 for f in frames)
+
+
+def test_talker_burst_batched_attn_matches_loop(rng, monkeypatch):
+    """The two attention formulations inside the whole-stack talker burst
+    kernel — the per-lane loop (small B) and the batched flat-domain form
+    (B >= 16; one pad-free scores/accumulate dot_general chain per KV
+    group) — are BIT-identical through all layers, cache rows included
+    (interpret mode; the TPU timing ablation lives in tools/burst_profile
+    + PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    import nano_qwen3tts_tpu.ops.talker_burst_pallas as tb
+    from nano_qwen3tts_tpu.config import preset_config
+    from nano_qwen3tts_tpu.models.talker import talker_spec
+    from nano_qwen3tts_tpu.models.transformer import fuse_layer_stack
+    from nano_qwen3tts_tpu.models.weights import init_talker_params
+    from nano_qwen3tts_tpu.ops.kv_cache import QuantizedKV, make_kv_cache_int8
+    from nano_qwen3tts_tpu.ops.quant import quantize_talker_params
+
+    cfg = preset_config("tiny")
+    tc = cfg.talker_config
+    spec = talker_spec(tc)
+    tp = init_talker_params(
+        tc, jax.random.PRNGKey(0), dtype=jnp.bfloat16, include_text=False
+    )
+    tp = dict(tp, layers=fuse_layer_stack(tp["layers"]))
+    tp = quantize_talker_params(tp, "w8a8")
+    bp = tb.make_burst_params(tp, spec)
+    assert bp is not None
+    tp = dict(tp, talker_burst=bp)
+    bs, B = 64, 16
+    kc, vc = make_kv_cache_int8(
+        tc.num_hidden_layers, B + 1, bs, tc.num_key_value_heads, spec.head_dim
+    )
+    x = jnp.asarray(
+        rng.standard_normal((B, tc.hidden_size)) * 0.3, jnp.bfloat16
+    )
+    pos = jnp.full((B,), 20, jnp.int32)
+    tables = jnp.arange(1, B + 1, dtype=jnp.int32).reshape(B, 1)
+    kv_lens = jnp.full((B,), 20, jnp.int32)
+    kq0 = jnp.asarray(rng.integers(-80, 80, kc.q.shape), jnp.int8)
+    ks0 = jnp.asarray(rng.random(kc.s.shape) * 0.01 + 0.005, jnp.float32)
+    vq0 = jnp.asarray(rng.integers(-80, 80, vc.q.shape), jnp.int8)
+    vs0 = jnp.asarray(rng.random(vc.s.shape) * 0.01 + 0.005, jnp.float32)
+
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("NANO_TTS_BURST_BATCHED_ATTN", mode)
+        hid, kq, vq = tb.talker_stack_burst(
+            tp, spec, x, pos, tables, kv_lens,
+            QuantizedKV(kq0, ks0), QuantizedKV(vq0, vs0), bs, interpret=True,
+        )
+        outs[mode] = (
+            np.asarray(hid, np.float32), np.asarray(kq.q), np.asarray(kq.s),
+            np.asarray(vq.q), np.asarray(vq.s),
+        )
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_array_equal(a, b)
