@@ -510,7 +510,11 @@ def flatten_codec_params(params: dict, cfg: Optional[CodecConfig] = None) -> dic
         node = dec
         for p in path:
             node = node[p]
-        out[name] = back[how](np.asarray(node))
+        # ascontiguousarray is LOAD-BEARING: the layout inversions above are
+        # numpy transpose VIEWS, and safetensors serializes the underlying
+        # buffer without honoring strides — a non-contiguous array saves
+        # silently scrambled (verified).
+        out[name] = np.ascontiguousarray(back[how](np.asarray(node)))
     leaves = jtu.tree_flatten_with_path(params["encoder"])[0]
     for path, leaf in leaves:
         out["encoder." + _param_key(path)] = np.asarray(leaf)

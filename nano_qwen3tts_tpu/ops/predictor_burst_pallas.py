@@ -53,7 +53,10 @@ from nano_qwen3tts_tpu.models.predictor import KV_WINDOW, NUM_STEPS
 from nano_qwen3tts_tpu.models.transformer import AttnSpec, make_inv_freq
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
-W_PAD = 32  # KV window padded to a sublane tile
+# KV window (17 real positions) padded to a sublane-tile multiple. 24, not
+# 32: the window attention is the kernel's dominant batch-scaled cost (VPU
+# broadcast-reduce over [W, B*Hq, d]), so every pad row costs real time.
+W_PAD = 24
 TOP_K = 50
 BISECT_ITERS = 30
 

@@ -133,6 +133,22 @@ def convert(kind: str, src: str, out: str, rename_map: str | None):
         schema = codec_schema()
     flat = _apply_rename(flat, rename_map)
 
+    if kind == "codec" and set(schema) - set(flat):
+        # The reference's speech tokenizer exposes the code-to-wav module as
+        # ``tokenizer.model.decoder`` (the CUDA-graph wrapper feeds it raw
+        # [B,16,T] codes — reference speech_tokenizer_cudagraph.py:23,108),
+        # so a full-tokenizer checkpoint likely nests our schema under one
+        # of these prefixes. Try them whole-file and keep the first that
+        # validates better (never mixing prefixes within one file).
+        for pref in ("decoder.", "model.decoder.", "tokenizer.model.decoder."):
+            cand = {
+                k[len(pref):]: v for k, v in flat.items() if k.startswith(pref)
+            }
+            if not set(schema) - set(cand):
+                print(f"note: matched schema under prefix {pref!r}")
+                flat = cand
+                break
+
     missing = sorted(set(schema) - set(flat))
     unexpected = sorted(set(flat) - set(schema))
     if missing or unexpected:
