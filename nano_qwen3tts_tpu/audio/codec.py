@@ -268,7 +268,10 @@ def codec_encode(params, wav, cfg: CodecConfig):
 # SpeechTokenizer wrapper (API parity with utils/audio.py SpeechTokenizer)
 # ---------------------------------------------------------------------------
 
-_LENGTH_BUCKETS = (8, 16, 32, 64, 128, 256, 360)
+# Decode-length buckets (strictly greater than T). 5/9/13 are the server's
+# streaming windows (first chunks T=4/8, inner T=chunk 4 + context 8 = 12):
+# a 13-bucket instead of 16 cuts ~19% off every inner-window decode.
+_LENGTH_BUCKETS = (5, 9, 13, 16, 24, 32, 64, 128, 256, 360)
 
 
 class SpeechTokenizer:
@@ -326,11 +329,17 @@ class SpeechTokenizer:
 
     def _pad_codes(self, arr: np.ndarray, tb: int) -> np.ndarray:
         """Pad [B, NB, T] to T=tb by repeating the final frame (sustained
-        audio keeps the one-step-lookahead tail well-conditioned)."""
+        audio keeps the one-step-lookahead tail well-conditioned), and pad
+        the batch dim to the next power of two (repeat row 0): the server's
+        micro-batched decode worker sends whatever batch arrived, and an
+        unbucketed batch dim would compile one program per concurrency
+        level at serve time (a multi-minute relay stall per new CCU)."""
         B, NB, T = arr.shape
-        padded = np.empty((B, NB, tb), np.int32)
-        padded[:, :, :T] = arr
-        padded[:, :, T:] = arr[:, :, -1:]
+        bb = 1 << max(B - 1, 0).bit_length()
+        padded = np.empty((bb, NB, tb), np.int32)
+        padded[:B, :, :T] = arr
+        padded[:B, :, T:] = arr[:, :, -1:]
+        padded[B:] = padded[0]
         return padded
 
     @staticmethod
@@ -362,6 +371,24 @@ class SpeechTokenizer:
         except Exception:
             pass
         return np.asarray(dev_arr)
+
+    def warmup(
+        self, batch_buckets=(1, 2, 4, 8, 16), window_lengths=(4, 12)
+    ):
+        """Pre-compile the streaming-decode programs for the serving shapes:
+        every power-of-two batch bucket the micro-batched decode worker can
+        pad to (up to 16 concurrent windows per call), at the server's
+        first-chunk and inner-window lengths. The analogue of the
+        reference's 50-CUDA-graph codec capture at startup
+        (speech_tokenizer_cudagraph.py:18-56) — without it the first
+        request at each new concurrency level stalls on a compile.
+        Persisted to the compile cache, so only the first server start on a
+        machine pays."""
+        for b in batch_buckets:
+            for t in window_lengths:
+                codes = np.zeros((b, self.cfg.num_codebooks, t), np.int32)
+                dev, _ = self.dispatch_pcm16(codes)
+                np.asarray(dev)
 
     def decode(self, codes) -> tuple[list[np.ndarray], int]:
         """codes (any accepted form) -> (list of float32 wavs, sample_rate)."""

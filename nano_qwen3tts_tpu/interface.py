@@ -136,6 +136,12 @@ class Qwen3TTSInterface:
 
     def warmup(self, **kw):
         self.engine.runner.warmup(**kw)
+        # the codec's streaming-window decode programs are part of the
+        # serving hot path too (server/app.DecodeWorker)
+        if self.speech_tokenizer is not None and hasattr(
+            self.speech_tokenizer, "warmup"
+        ):
+            self.speech_tokenizer.warmup()
 
     # ------------------------------------------------------------------
     # audio input normalization (interface.py:483-556)
