@@ -92,7 +92,11 @@ def build_engine(smoke: bool):
         attention_impl=attn,
         max_active_streams=32,
         decode_buckets=(1, 2, 4, 8, 16, 32),
-        prefill_buckets=(128, 256, 512, 1024),
+        # 64 leads: the bench's 64-token prompts prefill unpadded (a 128
+        # bucket pads them 2x — measured ~80 ms off first-chunk p50 at 8
+        # simultaneous arrivals; the reference warms prefill graphs for
+        # every size 1..256 for the same reason)
+        prefill_buckets=(64, 128, 256, 512, 1024),
         # 8 frames per dispatch measured best on v5e through the bench relay
         # (4: 7.1 ms/frame, 8: 3.6, 16: 4.7 at batch 8) — amortizes the
         # per-dispatch host round trip; server keeps 4 (chunk granularity).

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from common import stub_tokenizer  # noqa: E402
 
 
-def build_1p7b_interface():
+def build_1p7b_interface(max_ccu: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -58,6 +58,10 @@ def build_1p7b_interface():
         pp = init_predictor_params(
             tc.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.bfloat16
         )
+    # The throughput tier (VERDICT r3 next #9): requesting a 32-CCU row
+    # widens the lane/bucket caps so 32 concurrent streams share one chip
+    # at the measured batch-32 optimum (PARITY ablation table) instead of
+    # queueing at 16.
     ecfg = EngineConfig(
         max_model_len=1024,
         kvcache_block_size=1024,  # one block per lane -> burst kernel
@@ -66,10 +70,11 @@ def build_1p7b_interface():
         unroll_layers=True,
         frames_per_step=4,  # server chunk granularity
         pipeline_depth=1,
-        max_active_streams=16,
-        decode_buckets=(1, 2, 4, 8, 16),
+        max_active_streams=32 if max_ccu > 16 else 16,
+        decode_buckets=(1, 2, 4, 8, 16, 32) if max_ccu > 16
+        else (1, 2, 4, 8, 16),
         prefill_buckets=(128, 256),
-        max_prefill_batch=2,
+        max_prefill_batch=4,
     )
     codec = SpeechTokenizer(
         CodecConfig(
@@ -123,12 +128,13 @@ def run_clients(port: int, ccu: int, frames: int):
 async def amain(args):
     from nano_qwen3tts_tpu.server.app import TTSServer
 
-    iface = build_1p7b_interface()
+    ccus_all = [int(c) for c in args.ccu.split(",")]
+    iface = build_1p7b_interface(max_ccu=max(ccus_all))
     server = TTSServer(iface)
     await server.start(host="127.0.0.1", port=args.port, warmup=True)
     print("[serve_bench] server up, running load...", file=sys.stderr, flush=True)
     loop = asyncio.get_running_loop()
-    ccus = [int(c) for c in args.ccu.split(",")]
+    ccus = ccus_all
     # warm the HTTP+prefill path once at each concurrency step's bucket
     await loop.run_in_executor(None, run_clients, args.port, 1, 8)
     rows = []

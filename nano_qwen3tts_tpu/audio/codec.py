@@ -476,9 +476,27 @@ class SpeechTokenizer:
             outs.append(np.concatenate(pieces))
         return outs, self.sample_rate
 
+    # None: fully seeded-random codec (tests/examples — encode allowed);
+    # True: real checkpoint included encoder tensors; False: real DECODER
+    # checkpoint without an encoder — encode must fail loudly, not emit
+    # garbage codes into a voice-clone prompt (CODEC_ARCH.md encoder
+    # dossier; the analogue of interface.extract_speaker_embedding's raise).
+    encoder_loaded: Optional[bool] = None
+
     def encode(self, wav: np.ndarray, sr: int = 24000):
         """wav [samples] -> codes [T, NB] int32 (voice-clone reference path,
         utils/audio.py:82-123)."""
+        if self.encoder_loaded is False:
+            raise RuntimeError(
+                "this codec checkpoint has no encoder tensors: the upstream "
+                "Qwen3-TTS codec ENCODER architecture has no public "
+                "implementation (CODEC_ARCH.md, encoder dossier), so raw "
+                "reference audio cannot be encoded faithfully. Voice clone "
+                "still works from precomputed reference codes "
+                "(create_voice_clone_prompt(..., ref_codes=...)); to encode "
+                "raw audio, convert an encoder with "
+                "tools/convert_checkpoint.py codec --encoder strict"
+            )
         from nano_qwen3tts_tpu.audio.wav import resample
 
         wav = resample(np.asarray(wav, np.float32), sr, self.sample_rate)
@@ -522,8 +540,14 @@ def load_codec(model_path: str) -> SpeechTokenizer:
         with safe_open(path, framework="np") as f:
             for k in f.keys():
                 flat[k] = f.get_tensor(k)
+        has_encoder = any(k.startswith("encoder.") for k in flat)
         params = _unflatten(flat, cfg)
-        return SpeechTokenizer(cfg, params)
+        st = SpeechTokenizer(cfg, params)
+        # Decoder-only checkpoints are the expected real-world form (the
+        # upstream encoder architecture is unknowable offline, CODEC_ARCH.md
+        # encoder dossier): everything except encode-from-raw-audio works.
+        st.encoder_loaded = has_encoder
+        return st
     return SpeechTokenizer(cfg)
 
 
@@ -586,6 +610,12 @@ def _unflatten(flat: dict, cfg: Optional[CodecConfig] = None) -> dict:
     dec_sd = {k: v for k, v in flat.items() if not k.startswith("encoder.")}
     decoder = from_torch_state_dict(dec_sd, cfg.code2wav())
     template = init_encoder_params(cfg, jax.random.PRNGKey(0))
+    if not any(k.startswith("encoder.") for k in flat):
+        # decoder-only checkpoint (the expected real-world form; the
+        # upstream encoder is unknowable offline — CODEC_ARCH.md): keep the
+        # seeded template so decode paths work; SpeechTokenizer.encode
+        # fail-louds via encoder_loaded=False (load_codec sets it).
+        return {"decoder": decoder, "encoder": template}
     leaves, _ = jtu.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in leaves:

@@ -313,6 +313,13 @@ class Runner:
         ]
         # Live-lane count per shard (for least-loaded shard assignment).
         self._lanes_by_shard = [0] * self.n_shards
+        # Trailing-hidden writes staged at acquire_slot and flushed as ONE
+        # batched device op before the next dispatch: per-request eager
+        # .at[].set calls cost one host->device round trip each (~17 ms
+        # through a remote relay — 8 simultaneous arrivals paid ~140 ms of
+        # first-chunk latency in serial pool writes).
+        self._pending_trail: list = []
+        self._dirty_rows: dict = {}
 
         # Multi-controller runs (data axis spanning OS processes /hosts) are
         # N identical controllers executing the same dispatch sequence in
@@ -419,11 +426,22 @@ class Runner:
         multi-controller analogue of the reference's ZMQ result fan-in,
         workers/client_bridge.py:248-269). The decode program itself keeps
         zero cross-data collectives; only this result fetch crosses."""
-        if getattr(arr, "is_fully_addressable", True):
-            return np.asarray(arr)
-        if getattr(self, "_to_host_fn", None) is None:
-            self._to_host_fn = jax.jit(lambda a: a, out_shardings=self._repl)
-        return np.asarray(self._to_host_fn(arr))
+        if not getattr(arr, "is_fully_addressable", True):
+            if getattr(self, "_to_host_fn", None) is None:
+                self._to_host_fn = jax.jit(
+                    lambda a: a, out_shardings=self._repl
+                )
+            arr = self._to_host_fn(arr)
+        # Start the device->host copy BEFORE the blocking read: a bare
+        # np.asarray on a still-executing result takes the relay's slow
+        # poll path (measured: a warm (8,64) prefill frame fetched bare
+        # cost ~230 ms of the 8-CCU first-chunk p50; with the copy
+        # registered at dispatch the same fetch is ~25 ms RTT-bound).
+        try:
+            arr.copy_to_host_async()
+        except Exception:
+            pass
+        return np.asarray(arr)
 
     def _put_batch(self, x, dtype=None, batch_dim: int = 0):
         """Upload a host array, sharding its batch dim over the mesh "data"
@@ -493,15 +511,65 @@ class Runner:
         slot = self._free_slots_by_shard[shard].pop()
         self._lanes_by_shard[shard] += 1
         if trailing is not None and trailing.shape[0] > 0:
-            t = jnp.asarray(trailing[: self.Lt], self.dtype)
-            idx = (shard, slot) if self.data_sharded else (slot,)
-            self.trail_pool = self.trail_pool.at[idx + (slice(0, t.shape[0]),)].set(t)
-            self._dirty_rows = getattr(self, "_dirty_rows", {})
-            self._dirty_rows[(shard, slot)] = int(t.shape[0])
+            t = np.asarray(trailing[: self.Lt], np.float32)
+            if self.tts_pad_vec is not None:
+                # staged: flushed as one batched op at the next dispatch
+                self._pending_trail.append((shard, slot, t))
+            else:
+                # no pad vector to fill the padded tail rows with -> the
+                # batched flush can't reproduce keep-existing semantics;
+                # write eagerly (tests / bare-runner uses)
+                td = jnp.asarray(t, self.dtype)
+                idx = (shard, slot) if self.data_sharded else (slot,)
+                self.trail_pool = self.trail_pool.at[
+                    idx + (slice(0, td.shape[0]),)
+                ].set(td)
+                self._dirty_rows[(shard, slot)] = int(t.shape[0])
         return shard, slot
 
+    def _flush_trail_writes(self):
+        """Apply all staged trailing-hidden writes as ONE device op.
+
+        Rows are padded to a bucketed length with the tts-pad embedding
+        (identical to what those pool rows already hold, so the overwrite
+        is a no-op there) and the batch is padded to a power of two with
+        writes to the garbage pool row — both keep the compiled-program
+        set tiny across arrival patterns."""
+        pend = self._pending_trail
+        if not pend:
+            return
+        self._pending_trail = []
+        n = len(pend)
+        tmax = max(t.shape[0] for _, _, t in pend)
+        tb = min(self.Lt, ((tmax + 15) // 16) * 16)
+        # batch bucket floored at 8: one compiled flush program covers every
+        # arrival pattern up to 8 (warmed in warmup(); 16+ simultaneous
+        # arrivals lazily add one more)
+        nb = max(8, 1 << max(n - 1, 0).bit_length())
+        pad = np.asarray(self.tts_pad_vec, np.float32)
+        data = np.broadcast_to(pad, (nb, tb, self.D)).copy()
+        shards = np.zeros(nb, np.int32)  # pad lanes -> garbage row 0
+        slots = np.zeros(nb, np.int32)
+        for i, (sh, sl, t) in enumerate(pend):
+            data[i, : t.shape[0]] = t[:tb]
+            shards[i], slots[i] = sh, sl
+            self._dirty_rows[(sh, sl)] = tb
+        data_dev = jnp.asarray(data, self.dtype)
+        if self.data_sharded:
+            self.trail_pool = self.trail_pool.at[
+                jnp.asarray(shards), jnp.asarray(slots), :tb
+            ].set(data_dev)
+        else:
+            self.trail_pool = self.trail_pool.at[
+                jnp.asarray(slots), :tb
+            ].set(data_dev)
+
     def release_slot(self, shard: int, slot: int):
-        n = getattr(self, "_dirty_rows", {}).pop((shard, slot), 0)
+        # a staged write for a slot that never dispatched is simply dropped
+        self._pending_trail = [
+            p for p in self._pending_trail if (p[0], p[1]) != (shard, slot)
+        ]
+        n = self._dirty_rows.pop((shard, slot), 0)
         if n and self.tts_pad_vec is not None:
             pad = jnp.broadcast_to(self.tts_pad_vec, (n, self.D))
             idx = (shard, slot) if self.data_sharded else (slot,)
@@ -647,6 +715,7 @@ class Runner:
     def run_prefill(self, seqs: list[Sequence]) -> np.ndarray:
         """Run prefill + first frame for a batch. Returns frames [B, 16]."""
         self.invalidate_step_cache()
+        self._flush_trail_writes()
         if self.data_sharded:
             return self._run_prefill_sharded(seqs)
         B = len(seqs)
@@ -720,6 +789,7 @@ class Runner:
     def run_decode(self, seqs: list[Sequence]) -> np.ndarray:
         """Run one decode frame step for a batch. Returns frames [B, 16]."""
         self.invalidate_step_cache()
+        self._flush_trail_writes()
         if self.data_sharded:
             return self.run_decode_multi(seqs, 1)[:, 0, :]
         B = len(seqs)
@@ -791,6 +861,7 @@ class Runner:
         batch upload NOTHING — the dominant cost on a high-latency
         host<->device link.
         """
+        self._flush_trail_writes()
         B = len(seqs)
         if self.data_sharded:
             groups = self._group_by_shard(seqs)
@@ -901,8 +972,22 @@ class Runner:
                 if verbose:
                     print(f"[warmup] prefill bucket ({bb},{tb}): "
                           f"{time.time()-t0:.1f}s")
+            # the batched trail-write flush program (one per 16-row length
+            # bucket; arrivals' staged pool writes dispatch through it)
+            if self.tts_pad_vec is not None:
+                self._pending_trail.append(
+                    (0, 0, np.zeros((16, self.D), np.float32))
+                )
+                self._flush_trail_writes()
         finally:
             self._in_warmup = False
+        # Block until every warm program has actually compiled AND executed:
+        # dispatches are async (on a remote-relay backend even compiles are),
+        # so without this the costs warmup exists to front-load land in the
+        # first live request instead.
+        jax.block_until_ready(
+            (self.k_cache, self.embed_pool, self.trail_pool, self._dev_key)
+        )
         self._warmed = True
 
     def _warm_decode(self, bb: int):

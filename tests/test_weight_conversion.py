@@ -194,3 +194,76 @@ def test_extract_speaker_embedding_without_weights_raises():
         iface.extract_speaker_embedding(
             np.zeros(24000, np.float32), 24000
         )
+
+
+def test_codec_convert_decoder_only_and_encoder_delta(tmp_path, monkeypatch, rng):
+    """Converter contract for the encoder (VERDICT r3 next #7 /
+    CODEC_ARCH.md encoder dossier): a decoder-only source converts cleanly
+    to a decoder-only codec.safetensors; encoder-ish tensors that cannot
+    map onto the assumed schema fail with the documented delta unless
+    --encoder skip drops them; a loaded decoder-only codec decodes fine
+    but encode() fails loudly instead of emitting garbage clone codes."""
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    import convert_checkpoint as cc
+
+    from nano_qwen3tts_tpu.audio.codec import (
+        CodecConfig,
+        SpeechTokenizer,
+        flatten_codec_params,
+        init_codec_params,
+    )
+    import nano_qwen3tts_tpu.audio.codec as codec_mod
+
+    cfg = CodecConfig.tiny()
+    monkeypatch.setattr(
+        cc, "codec_schema",
+        lambda c=None: flatten_codec_params(
+            init_codec_params(cfg, jax.random.PRNGKey(0)), cfg
+        ),
+    )
+    full = flatten_codec_params(init_codec_params(cfg, jax.random.PRNGKey(5)), cfg)
+    dec_only = {k: np.asarray(v, np.float32) for k, v in full.items()
+                if not k.startswith("encoder.")}
+    src = str(tmp_path / "src.safetensors")
+    out = str(tmp_path / "codec.safetensors")
+    save_file(dec_only, src)
+
+    # 1. decoder-only source -> decoder-only output, exit 0
+    cc._convert_codec(src, out, None, "delta")
+    from safetensors import safe_open
+
+    with safe_open(out, framework="np") as f:
+        keys = set(f.keys())
+    assert keys == set(dec_only)
+
+    # 2. the loaded decoder-only codec decodes but refuses to encode
+    flat = dict(dec_only)
+    st = SpeechTokenizer(cfg, codec_mod._unflatten(flat, cfg))
+    st.encoder_loaded = False  # what load_codec sets for this file
+    codes = rng.integers(0, 64, size=(1, 16, 6)).astype(np.int32)
+    wavs, _ = st.decode(codes)
+    assert np.isfinite(wavs[0]).all()
+    with pytest.raises(RuntimeError, match="no encoder tensors"):
+        st.encode(np.zeros(16000, np.float32), 24000)
+
+    # 3. unmappable encoder-ish tensors: documented-delta failure ...
+    src2 = str(tmp_path / "src2.safetensors")
+    with_enc = dict(dec_only)
+    with_enc["quantizer.codebooks.weight"] = np.zeros((16, 2048, 8), np.float32)
+    save_file(with_enc, src2)
+    with pytest.raises(SystemExit) as ei:
+        cc._convert_codec(src2, out, None, "delta")
+    assert ei.value.code == 2
+
+    # ... unless --encoder skip drops them (decoder-only output)
+    cc._convert_codec(src2, out, None, "skip")
+    with safe_open(out, framework="np") as f:
+        assert set(f.keys()) == set(dec_only)
+
+    # 4. a source whose encoder MATCHES the assumed schema converts whole
+    save_file({k: np.asarray(v, np.float32) for k, v in full.items()}, src2)
+    cc._convert_codec(src2, out, None, "delta")
+    with safe_open(out, framework="np") as f:
+        assert set(f.keys()) == set(full)
