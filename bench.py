@@ -86,12 +86,19 @@ def build_engine(smoke: bool):
     # v5e vs the per-layer paths. BENCH_ATTN=pallas/xla + a 128 block size
     # select the per-layer attention paths instead.
     attn = os.environ.get("BENCH_ATTN", "auto")
+    # BENCH_MAX_BATCH > 32 widens the lane caps (the batch-64 throughput
+    # probe); the default stays at the batch-32 measured optimum.
+    bmax = int(os.environ.get("BENCH_MAX_BATCH", "32"))
+    streams = max(32, min(bmax, 128))
+    buckets = (1, 2, 4, 8, 16, 32) + tuple(
+        b for b in (64, 128) if b <= streams
+    )
     ecfg = EngineConfig(
         max_model_len=1024,
         kvcache_block_size=128 if attn in ("pallas", "xla") else 1024,
         attention_impl=attn,
-        max_active_streams=32,
-        decode_buckets=(1, 2, 4, 8, 16, 32),
+        max_active_streams=streams,
+        decode_buckets=buckets,
         # 64 leads: the bench's 64-token prompts prefill unpadded (a 128
         # bucket pads them 2x — measured ~80 ms off first-chunk p50 at 8
         # simultaneous arrivals; the reference warms prefill graphs for
@@ -138,7 +145,12 @@ def build_engine(smoke: bool):
     # minutes; content is irrelevant for random-weight throughput runs)
     pad = np.zeros(tc.hidden_size, np.float32)
     t0 = time.time()
-    engine = TTSEngine(ecfg, cfg, tparams, pparams, tts_pad_embed=pad)
+    engine = TTSEngine(
+        ecfg, cfg, tparams, pparams, tts_pad_embed=pad,
+        # one KV block per lane + the garbage block: the auto-sizer can
+        # land exactly at 64 and starve the 64-lane probe
+        num_kvcache_blocks=streams + 1 if streams > 32 else None,
+    )
     log(f"engine built {time.time()-t0:.1f}s "
         f"(platform={jax.devices()[0].platform}, blocks={engine.runner.num_blocks}, "
         f"attn={engine.runner.attn_impl}, predictor={engine.runner.predictor_impl})")

@@ -29,6 +29,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--param-dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--legs", default="serving,raw16")
     ap.add_argument("--batches", default="1,8")
     ap.add_argument("--windows", default="12,4")
@@ -41,9 +43,11 @@ def main():
     import jax.numpy as jnp
     from nano_qwen3tts_tpu.audio.codec import CodecConfig, SpeechTokenizer
 
-    print(f"platform={jax.devices()[0].platform} dtype={args.dtype}",
-          flush=True)
-    codec = SpeechTokenizer(CodecConfig(compute_dtype=args.dtype))
+    print(f"platform={jax.devices()[0].platform} compute={args.dtype} "
+          f"params={args.param_dtype}", flush=True)
+    codec = SpeechTokenizer(CodecConfig(
+        compute_dtype=args.dtype, param_dtype=args.param_dtype
+    ))
     rng = np.random.default_rng(0)
     legs = args.legs.split(",")
     reps = args.reps
