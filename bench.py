@@ -43,7 +43,13 @@ import numpy as np
 BASELINE_RTF = 0.399  # reference engine, H100, 1.7B VoiceDesign, batch 1
 FRAME_SECONDS = 0.08  # 12.5 Hz codec
 T_START = time.time()
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "450"))
+# 900 s: a fully WARM run (every program in the stable compile cache)
+# completes in ~500-650 s through the bench relay — the old 450 s default
+# squeezed the batch-32 throughput leg out of the driver record (the
+# primary JSON line is printed long before this deadline and a SIGTERM
+# handler salvages it regardless, so a tighter driver budget loses only
+# diagnostics, never the metric).
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "900"))
 
 
 def log(*a):
@@ -420,7 +426,7 @@ def main():
         # batch bmax (throughput ceiling): the burst kernels' per-frame
         # weight stream is batch-independent, so per-stream cost keeps
         # dropping as lanes fill — the chip's codec-token throughput story.
-        if bmax > 8 and time_left() > 90:
+        if bmax > 8 and time_left() > 60:
             engine.runner.warmup(decode_buckets=(bmax,), prefill_shapes=[])
             step_s_b = run_stream(engine, tc, bmax, n_frames)
             fps_b = bmax / step_s_b

@@ -232,3 +232,50 @@ def test_staged_warmup_does_not_cry_wolf(rng, caplog):
     prompt = (rng.standard_normal((10, tc.hidden_size)) * 0.3).astype(np.float32)
     list(eng.generate(prompt, None, max_frames=2))
     assert eng.stats["serve_time_compiles"] >= 1
+
+
+def test_staged_trail_flush_matches_eager_writes(rng):
+    """acquire_slot stages trailing-hidden pool writes and run_* flushes
+    them as ONE batched device op (first-chunk latency fix: each eager
+    .at[].set cost a host->device round trip). The flushed pool must be
+    byte-identical to the eager path: real rows written, padded tail rows
+    still the tts-pad vector, rows of released-before-dispatch slots
+    untouched."""
+    ecfg = EngineConfig(
+        max_model_len=64, kvcache_block_size=16, max_active_streams=4,
+        decode_buckets=(1, 2, 4), prefill_buckets=(16,), frames_per_step=1,
+    )
+    tp = init_talker_params(TCFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    pp = init_predictor_params(
+        TCFG.code_predictor_config, jax.random.PRNGKey(1), dtype=jnp.float32
+    )
+    pad = (rng.standard_normal(TCFG.hidden_size) * 0.3).astype(np.float32)
+    eng = TTSEngine(ecfg, CFG, tp, pp, tts_pad_embed=pad,
+                    num_kvcache_blocks=8)
+    r = eng.runner
+    assert r.tts_pad_vec is not None  # staged path active
+    trails = {  # varied lengths incl. 0 (None) and > one 16-row bucket
+        "a": trail(rng, 5), "b": trail(rng, 17), "c": None,
+    }
+    slots = {k: r.acquire_slot(t) for k, t in trails.items()}
+    # a slot released before any dispatch must drop its staged write
+    dropped = r.acquire_slot(trail(rng, 3))
+    r.release_slot(*dropped)
+    assert len(r._pending_trail) == 2  # a, b staged; c had nothing to stage
+    r._flush_trail_writes()
+    assert r._pending_trail == []
+    pool = np.asarray(r.trail_pool, np.float32)  # [P, Lt, D]
+    for k, t in trails.items():
+        _, slot = slots[k]
+        n = 0 if t is None else t.shape[0]
+        if n:
+            np.testing.assert_allclose(pool[slot, :n], t, rtol=1e-6)
+        # every row past the real trailing stays the pad vector
+        np.testing.assert_allclose(
+            pool[slot, n:], np.broadcast_to(pad, (r.Lt - n, r.D)), rtol=1e-6
+        )
+    np.testing.assert_allclose(
+        pool[dropped[1]], np.broadcast_to(pad, (r.Lt, r.D)), rtol=1e-6
+    )
+    # flush with nothing pending is a no-op (no device op, no error)
+    r._flush_trail_writes()
