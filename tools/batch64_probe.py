@@ -16,6 +16,18 @@ programs apply and each avoided compile saves ~20 min through the relay.
 
 Run on the TPU chip:  python tools/batch64_probe.py
 Prints one JSON line per measurement to stdout.
+
+RESULT (2026-08-21, v5e via the axon relay, two attempts): the 64-lane
+burst decode program is UNMEASURABLE on this infrastructure — the relay's
+chipless AOT compile helper is SIGKILLed (~20 min into the Mosaic compile,
+reproducibly: `remote_compile: HTTP 500: tpu_compile_helper subprocess
+exit signal SIGKILL (9)`) before the program exists. The 32-lane variant
+of the same kernel compiles in ~19 min, so the 64-lane batched-attention
+formulation crosses the helper's memory budget, not a kernel-validity
+line. Measuring the 64-lane tier needs either a direct-attached chip
+(no compile-helper cap) or a lower-memory kernel formulation (e.g.
+splitting the batched attention into two 32-lane panes). Until then the
+measured throughput optimum stays batch 32 (PARITY.md ablation table).
 """
 
 from __future__ import annotations
