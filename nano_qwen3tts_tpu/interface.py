@@ -302,10 +302,11 @@ class Qwen3TTSInterface:
         talker_attention_mask=None,  # parity arg; engine buckets instead
         request_id: Optional[str] = None,
         max_frames: int = 0,
+        stream_info: Optional[dict] = None,
     ) -> AsyncGenerator[List[int], None]:
         async for frame in self.engine.generate_async(
             inputs_embeds, trailing_text_hiddens, request_id=request_id,
-            max_frames=max_frames,
+            max_frames=max_frames, stream_info=stream_info,
             talker_temperature=TALKER_TEMPERATURE,
             predictor_temperature=PREDICTOR_TEMPERATURE,
         ):
@@ -313,23 +314,25 @@ class Qwen3TTSInterface:
 
     async def generate_custom_voice_async(
         self, text: str, language: str = "English", speaker: str = "Vivian",
-        max_frames: int = 0,
+        max_frames: int = 0, stream_info: Optional[dict] = None,
     ):
         embeds, trailing, _ = self._prep_custom_voice(text, language, speaker)
         async for f in self.generate_async(
-            embeds[0], trailing[0], max_frames=max_frames
+            embeds[0], trailing[0], max_frames=max_frames,
+            stream_info=stream_info,
         ):
             yield f
 
     async def generate_voice_design_async(
         self, text: str, instruct: str, language: Optional[str] = None,
-        max_frames: int = 0,
+        max_frames: int = 0, stream_info: Optional[dict] = None,
     ):
         embeds, trailing, _ = self._prep_voice_design(
             text, instruct, language or "Auto"
         )
         async for f in self.generate_async(
-            embeds[0], trailing[0], max_frames=max_frames
+            embeds[0], trailing[0], max_frames=max_frames,
+            stream_info=stream_info,
         ):
             yield f
 
@@ -343,6 +346,7 @@ class Qwen3TTSInterface:
         voice_clone_prompt: Optional[Dict[str, Any]] = None,
         non_streaming_mode: bool = True,
         max_frames: int = 0,
+        stream_info: Optional[dict] = None,
     ):
         if voice_clone_prompt is None:
             if ref_audio is None:
@@ -357,7 +361,8 @@ class Qwen3TTSInterface:
             non_streaming_mode,
         )
         async for f in self.generate_async(
-            embeds[0], trailing[0], max_frames=max_frames
+            embeds[0], trailing[0], max_frames=max_frames,
+            stream_info=stream_info,
         ):
             yield f
 

@@ -112,10 +112,10 @@ def _rms_norm_padded(x, w, eps, d_real):
 
 def _stack_kernel(
     # scalar prefetch
-    tables_ref,  # [B] int32 (one block id per lane)
-    woff_ref,    # [B] int32 write offset within block == existing KV entries
+    tables_ref,  # [B_total] int32 (one block id per lane)
+    woff_ref,    # [B_total] int32 write offset in block == existing entries
     # inputs
-    x_ref,            # [B, D] bf16
+    x_ref,            # [B, D] bf16 (per-pane block when n_panes > 1)
     pos_ref,          # [B, 1] int32 rope positions
     woffv_ref,        # [B, 1] int32 write offsets as a vector (batched masks)
     qkv_q_ref, qkv_s_ref, o_q_ref, o_s_ref,
@@ -127,12 +127,21 @@ def _stack_kernel(
     eunp_ref,         # [Hkv*DP, nkv] bf16 0/1 un-pad for new K/V rows
     *rest,
     spec: AttnSpec, num_layers: int, B: int, D: int, block_size: int,
-    batched_attn: bool = False,
+    batched_attn: bool = False, n_panes: int = 1,
 ):
-    # rest = ksw, vsw ([B, L, 1, bs] f32 gathered scale windows),
-    # kq_hbm, vq_hbm (ANY), then outputs (hid, scl, kq_out, vq_out),
-    # then scratch (h, kbuf, vbuf, rowk, rowv, rsem, wsem
-    #               [+ kb16, vb16 in batched-attention mode])
+    # rest = ksw, vsw ([L, B, 1, bs] f32 gathered scale windows; per-(l,p)
+    # blocks in pane mode), kq_hbm, vq_hbm (ANY), then outputs
+    # (hid, scl, kq_out, vq_out), then scratch (h, kbuf, vbuf, rowk, rowv,
+    # rsem, wsem [+ kb16, vb16 in batched-attention mode]).
+    #
+    # n_panes > 1 (the 64+-lane tier): grid (L, n_panes); each step runs
+    # the batched-attention body on ONE 32-lane pane, so per-step VMEM,
+    # unrolled-DMA count and vector-code size stay at the 32-lane point
+    # that fits the Mosaic compile budget (tools/batch64_probe.py: the flat
+    # 64-lane formulation OOMs the compile helper) — while the per-layer
+    # weight blocks are indexed by l only, so panes of the same layer
+    # revisit the SAME block and the weight HBM stream stays once/layer
+    # (the whole reason batch 64 beats 2x batch 32).
     ksw_ref, vsw_ref, kq_hbm, vq_hbm = rest[:4]
     hid_ref, scl_ref, kq_out, vq_out = rest[4:8]
     if batched_attn:
@@ -141,14 +150,16 @@ def _stack_kernel(
         h_scr, kbuf, vbuf, rowk, rowv, rsem, wsem = rest[8:]
 
     l = pl.program_id(0)
+    pane = pl.program_id(1) if n_panes > 1 else 0
+    step = l * n_panes + pane
     Hq, Hkv, d = spec.num_heads, spec.num_kv_heads, spec.head_dim
     nqp, nkvp = Hq * DP, Hkv * DP
     nkv = Hkv * d
     n_rep = Hq // Hkv
 
-    def _reads(ll, slot):
+    def _reads(ll, pp, slot):
         for b in range(B):
-            start = tables_ref[b] * block_size
+            start = tables_ref[pp * B + b] * block_size
             yield pltpu.make_async_copy(
                 kq_hbm.at[ll, pl.ds(start, block_size), :],
                 kbuf.at[slot, b], rsem.at[slot, b, 0],
@@ -158,18 +169,26 @@ def _stack_kernel(
                 vbuf.at[slot, b], rsem.at[slot, b, 1],
             )
 
+    @pl.when(step == 0)
+    def _first_reads():
+        for dma in _reads(0, 0, 0):
+            dma.start()
+
     @pl.when(l == 0)
     def _init():
-        h_scr[:] = x_ref[:]
-        for dma in _reads(0, 0):
-            dma.start()
+        h_scr[pane] = x_ref[:]
 
-    @pl.when(l + 1 < num_layers)
+    @pl.when(step + 1 < num_layers * n_panes)
     def _prefetch():
-        for dma in _reads(l + 1, (l + 1) % 2):
+        if n_panes > 1:
+            nl = l + (pane + 1) // n_panes
+            np_ = (pane + 1) % n_panes
+        else:
+            nl, np_ = l + 1, 0
+        for dma in _reads(nl, np_, (step + 1) % 2):
             dma.start()
 
-    h = h_scr[:]
+    h = h_scr[pane]
     xn = _rms_norm(h, ln1_ref[0], spec.rms_norm_eps)
     qkv = _int8_mm(xn, qkv_q_ref.at[0], qkv_s_ref.at[0])  # [B, nqp+2nkvp]
     q = qkv[:, :nqp].reshape(B, Hq, DP)
@@ -222,19 +241,19 @@ def _stack_kernel(
     )
 
     # wait for this layer's KV blocks (prefetched at the previous step)
-    for dma in _reads(l, l % 2):
+    for dma in _reads(l, pane, step % 2):
         dma.wait()
 
     # stash the write windows: WROWS-aligned, history rows restored from the
     # freshly fetched block (bit-exact), new row inserted at woff
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (WROWS, nkv), 0)
     for b in range(B):
-        wstart = (woff_ref[b] // WROWS) * WROWS
-        roff = woff_ref[b] - wstart
-        kwin = kbuf[l % 2, b, pl.ds(wstart, WROWS), :]
-        vwin = vbuf[l % 2, b, pl.ds(wstart, WROWS), :]
-        rowk[b, l] = jnp.where(iota8 == roff, kq_new[b : b + 1, :], kwin)
-        rowv[b, l] = jnp.where(iota8 == roff, vq_new[b : b + 1, :], vwin)
+        wstart = (woff_ref[pane * B + b] // WROWS) * WROWS
+        roff = woff_ref[pane * B + b] - wstart
+        kwin = kbuf[step % 2, b, pl.ds(wstart, WROWS), :]
+        vwin = vbuf[step % 2, b, pl.ds(wstart, WROWS), :]
+        rowk[pane * B + b, l] = jnp.where(iota8 == roff, kq_new[b : b + 1, :], kwin)
+        rowv[pane * B + b, l] = jnp.where(iota8 == roff, vq_new[b : b + 1, :], vwin)
 
     # --- attend-with-extension. Two formulations of identical math:
     #
@@ -253,14 +272,18 @@ def _stack_kernel(
         # Stage the int8->bf16 window casts in VMEM scratch: as dot_general
         # operands Mosaic would otherwise hold them live in vregs (measured:
         # 128M of register spills at B=16).
-        kb16[:] = kbuf[l % 2].astype(jnp.bfloat16)
-        vb16[:] = vbuf[l % 2].astype(jnp.bfloat16)
+        kb16[:] = kbuf[step % 2].astype(jnp.bfloat16)
+        vb16[:] = vbuf[step % 2].astype(jnp.bfloat16)
         mask3 = (
             jax.lax.broadcasted_iota(jnp.int32, (B, 1, block_size), 2)
             < woffv_ref[:].reshape(B, 1, 1)
         )
-        sk3 = ksw_ref[:, l].reshape(B, 1, block_size)  # [B, 1, bs] f32
-        sv3 = vsw_ref[:, l].reshape(B, 1, block_size)
+        if n_panes > 1:  # per-(l, p) block [1, B, 1, bs]
+            sk3 = ksw_ref[0].reshape(B, 1, block_size)
+            sv3 = vsw_ref[0].reshape(B, 1, block_size)
+        else:  # full [L, B, 1, bs]
+            sk3 = ksw_ref[l].reshape(B, 1, block_size)
+            sv3 = vsw_ref[l].reshape(B, 1, block_size)
         gouts = []
         for g in range(Hkv):
             # scores in the FLAT cache domain: zero-embed the group's
@@ -323,7 +346,7 @@ def _stack_kernel(
         )
         act = (g_ * sig) * gu[:, I:]
         h = h + _int8_mm(act, dn_q_ref.at[0], dn_s_ref.at[0])
-        h_scr[:] = h
+        h_scr[pane] = h
 
         @pl.when(l == num_layers - 1)
         def _emit_b():
@@ -332,15 +355,15 @@ def _stack_kernel(
             def _writes():
                 for b in range(B):
                     ws = (
-                        tables_ref[b] * block_size
-                        + (woff_ref[b] // WROWS) * WROWS
+                        tables_ref[pane * B + b] * block_size
+                        + (woff_ref[pane * B + b] // WROWS) * WROWS
                     )
                     yield pltpu.make_async_copy(
-                        rowk.at[b], kq_out.at[:, pl.ds(ws, WROWS), :],
+                        rowk.at[pane * B + b], kq_out.at[:, pl.ds(ws, WROWS), :],
                         wsem.at[b, 0],
                     )
                     yield pltpu.make_async_copy(
-                        rowv.at[b], vq_out.at[:, pl.ds(ws, WROWS), :],
+                        rowv.at[pane * B + b], vq_out.at[:, pl.ds(ws, WROWS), :],
                         wsem.at[b, 1],
                     )
 
@@ -349,24 +372,24 @@ def _stack_kernel(
             for dma in _writes():
                 dma.wait()
 
-        del _init, _prefetch, _emit_b
+        del _first_reads, _init, _prefetch, _emit_b
         return
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
     attn_rows = []
     for b in range(B):
-        sk = ksw_ref[b, l]               # [1, bs] f32 per-slot scales
-        sv = vsw_ref[b, l]
+        sk = ksw_ref[l, b]               # [1, bs] f32 per-slot scales
+        sv = vsw_ref[l, b]
         # pad-expand the raw int8 window once per lane (int8 values are
         # exact in bf16; per-slot scales fold in AFTER the matmuls):
         # [bs, nkv] -> [bs, Hkv*DP]
         kw = jax.lax.dot_general(
-            kbuf[l % 2, b].astype(jnp.bfloat16),
+            kbuf[step % 2, b].astype(jnp.bfloat16),
             epad_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16).reshape(block_size, Hkv, DP)
         vw = jax.lax.dot_general(
-            vbuf[l % 2, b].astype(jnp.bfloat16),
+            vbuf[step % 2, b].astype(jnp.bfloat16),
             epad_ref[:],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16).reshape(block_size, Hkv, DP)
@@ -413,7 +436,7 @@ def _stack_kernel(
     sig = (1.0 / (1.0 + jnp.exp(-g_.astype(jnp.float32)))).astype(jnp.bfloat16)
     act = (g_ * sig) * gu[:, I:]
     h = h + _int8_mm(act, dn_q_ref.at[0], dn_s_ref.at[0])
-    h_scr[:] = h
+    h_scr[pane] = h
 
     @pl.when(l == num_layers - 1)
     def _emit():
@@ -436,7 +459,7 @@ def _stack_kernel(
         for dma in _writes():
             dma.wait()
 
-    del _init, _prefetch, _emit
+    del _first_reads, _init, _prefetch, _emit
 
 
 def make_burst_params(params: dict, spec: AttnSpec) -> dict | None:
@@ -538,8 +561,12 @@ def supports_talker_burst(params: dict, spec: AttnSpec, k_cache, B: int,
         and isinstance(k_cache, QuantizedKV)
         and block_size == max_model_len
         and block_size % WROWS == 0
-        and B <= 32  # per-lane DMA buffers (compile-checked at 32 on v5e);
-        # fall back for larger buckets
+        # <=32 lanes: single-pane kernel (compile-checked at 32 on v5e).
+        # Larger buckets must split into equal <=32-lane panes — the
+        # (L, n_panes) grid keeps per-step compile complexity at the
+        # 32-lane point while streaming weights once per layer.
+        and (B <= 32 or B % ((B + 31) // 32) == 0)
+        and B <= 128
     )
 
 
@@ -554,6 +581,7 @@ def talker_stack_burst(
     v_cache,
     block_size: int,
     interpret: bool = False,
+    pane_size: int | None = None,  # tests: force a pane split at small B
 ):
     """Whole talker decode stack in one kernel, cache updated IN PLACE.
 
@@ -581,28 +609,54 @@ def talker_stack_burst(
 
     kq = k_cache.q  # flat [L, S, nkv] — NO reshape (a 4-D cache layout puts
     vq = v_cache.q  # S minor-most and reshaping relayouts the whole plane)
-    # gather each lane's scale window [B, L, 1, bs]: the unit dim keeps b/l
+    # gather each lane's scale window [L, B, 1, bs]: the unit dim keeps l/b
     # on untiled leading axes (a [.., bs, 1] layout would be lane-padded
     # 128x and materialize the whole scale plane per frame — see module doc)
     win = tables[:, None] * block_size + jnp.arange(block_size, dtype=jnp.int32)
-    ksw = jnp.transpose(k_cache.s[:, win], (1, 0, 2))[:, :, None, :]
-    vsw = jnp.transpose(v_cache.s[:, win], (1, 0, 2))[:, :, None, :]
+    ksw = k_cache.s[:, win][:, :, None, :]
+    vsw = v_cache.s[:, win][:, :, None, :]
+
+    # Pane tiling (the 64+-lane tier): run the grid as (L, n_panes) with a
+    # <=32-lane pane per step — see _stack_kernel docstring.
+    if pane_size is not None:
+        n_panes = (B + pane_size - 1) // pane_size
+    else:
+        n_panes = 1 if B <= 32 else (B + 31) // 32
+    assert B % n_panes == 0, f"batch {B} not divisible into 32-lane panes"
+    Bp = B // n_panes
 
     def _mid1(a, dtype=jnp.float32):
         return a.astype(dtype).reshape(a.shape[0], 1, a.shape[1])
 
     # NOTE: under PrefetchScalarGridSpec every index map receives the scalar
-    # refs after the grid indices — hence the (l, tables, woff) signatures.
-    wspec = lambda shape: pl.BlockSpec(shape, lambda l, tables, woff: (l, 0, 0))  # noqa: E731
+    # refs after the grid indices — hence the (grid..., tables, woff)
+    # signatures.
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if n_panes == 1:
+        grid = (L,)
+        wspec = lambda shape: pl.BlockSpec(shape, lambda l, t, w: (0,) * (len(shape) - 3) + (l, 0, 0))  # noqa: E731
+        lane = lambda shape: vmem  # noqa: E731
+        swspec = vmem
+        sclspec = pl.BlockSpec((1, B, DP), lambda l, t, w: (l, 0, 0))
+        hidspec = vmem
+    else:
+        grid = (L, n_panes)
+        wspec = lambda shape: pl.BlockSpec(shape, lambda l, p, t, w: (0,) * (len(shape) - 3) + (l, 0, 0))  # noqa: E731
+        # per-pane lane blocks (leading Bp-slice of a B-long axis)
+        lane = lambda shape: pl.BlockSpec(shape, lambda l, p, t, w: (p,) + (0,) * (len(shape) - 1))  # noqa: E731
+        swspec = pl.BlockSpec(
+            (1, Bp, 1, block_size), lambda l, p, t, w: (l, p, 0, 0)
+        )
+        sclspec = pl.BlockSpec((1, Bp, DP), lambda l, p, t, w: (l, p, 0))
+        hidspec = pl.BlockSpec((Bp, D), lambda l, p, t, w: (p, 0))
     qkv_w, o_w = bp["qkv_w"], bp["o_w"]
     gu_w, dn_w = lay["gateup_w"], lay["down_w"]
 
     in_specs = [
-        vmem,  # x
-        vmem,  # positions
-        vmem,  # woff vector (batched-attention masks)
+        lane((Bp, D)),  # x
+        lane((Bp, 1)),  # positions
+        lane((Bp, 1)),  # woff vector (batched-attention masks)
         wspec((1,) + qkv_w.q.shape[1:]), wspec((1, 1, qkv_w.s.shape[-1])),
         wspec((1,) + o_w.q.shape[1:]), wspec((1, 1, o_w.s.shape[-1])),
         wspec((1,) + gu_w.q.shape[1:]), wspec((1, 1, gu_w.s.shape[-1])),
@@ -617,7 +671,7 @@ def talker_stack_burst(
         vmem,  # epad
         vmem,  # eunpad
     ]
-    in_specs += [vmem, vmem]  # ksw, vsw gathered scale windows
+    in_specs += [swspec, swspec]  # ksw, vsw gathered scale windows
     in_specs += [any_spec, any_spec]  # kq, vq value planes (stay in HBM)
 
     # flattened input indices for the aliased value planes: 2 scalar-prefetch
@@ -628,35 +682,37 @@ def talker_stack_burst(
     import os
 
     env = os.environ.get("NANO_TTS_BURST_BATCHED_ATTN")
-    batched_attn = (B >= 16) if env is None else env == "1"
+    batched_attn = (
+        True if n_panes > 1 else ((B >= 16) if env is None else env == "1")
+    )
     kernel = functools.partial(
-        _stack_kernel, spec=spec, num_layers=L, B=B, D=D,
-        block_size=block_size, batched_attn=batched_attn,
+        _stack_kernel, spec=spec, num_layers=L, B=Bp, D=D,
+        block_size=block_size, batched_attn=batched_attn, n_panes=n_panes,
     )
     hid, scl, kq_new, vq_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(L,),
+            grid=grid,
             in_specs=in_specs,
             out_specs=[
-                vmem,
-                pl.BlockSpec((1, B, DP), lambda l, tables, woff: (l, 0, 0)),
+                hidspec,
+                sclspec,
                 any_spec,
                 any_spec,
             ],
             scratch_shapes=[
-                pltpu.VMEM((B, D), jnp.bfloat16),                 # h
-                pltpu.VMEM((2, B, block_size, nkv), jnp.int8),    # kbuf
-                pltpu.VMEM((2, B, block_size, nkv), jnp.int8),    # vbuf
+                pltpu.VMEM((n_panes, Bp, D), jnp.bfloat16),       # h
+                pltpu.VMEM((2, Bp, block_size, nkv), jnp.int8),   # kbuf
+                pltpu.VMEM((2, Bp, block_size, nkv), jnp.int8),   # vbuf
                 pltpu.VMEM((B, L, WROWS, nkv), jnp.int8),         # rowk
                 pltpu.VMEM((B, L, WROWS, nkv), jnp.int8),         # rowv
-                pltpu.SemaphoreType.DMA((2, B, 2)),               # read sems
-                pltpu.SemaphoreType.DMA((B, 2)),                  # write sems
+                pltpu.SemaphoreType.DMA((2, Bp, 2)),              # read sems
+                pltpu.SemaphoreType.DMA((Bp, 2)),                 # write sems
             ] + (
                 [
-                    pltpu.VMEM((B, block_size, nkv), jnp.bfloat16),  # kb16
-                    pltpu.VMEM((B, block_size, nkv), jnp.bfloat16),  # vb16
+                    pltpu.VMEM((Bp, block_size, nkv), jnp.bfloat16),  # kb16
+                    pltpu.VMEM((Bp, block_size, nkv), jnp.bfloat16),  # vb16
                 ]
                 if batched_attn
                 else []
@@ -670,7 +726,7 @@ def talker_stack_burst(
         ],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,

@@ -64,10 +64,37 @@ class StreamSettings:
     sample_rate: int = 24000
 
 
+def stream_window_combos(s: "StreamSettings") -> set:
+    """The (window_frames, context_frames, new_frames) shapes the chunking
+    policy produces for FULL chunks (final partial chunks go through the
+    classic bucketed path). Used to pre-compile and gate the pooled
+    on-device window decode."""
+    combos = set()
+    emitted = 0
+    for chunk_no in range(s.first_chunk_count + 3):
+        target = s.first_chunk_size if chunk_no < s.first_chunk_count else s.chunk_size
+        upto = emitted + target
+        ctx_start = max(0, emitted - s.context_size)
+        combos.add((upto - ctx_start, emitted - ctx_start, target))
+        emitted = upto
+    return combos
+
+
 class DecodeWorker:
     """Micro-batches codec decode calls from concurrent streams
     (server.py:372-465). Jobs with identical window length decode as one
-    batched codec call."""
+    batched codec call.
+
+    Two job kinds share the queue:
+
+    * classic: the caller provides the window's codes; one H2D upload +
+      decode + fetch per same-length group (the reference's shape).
+    * pooled: the codes already live in the engine's device-resident
+      codes pool (engine/runner.py codes_pool) — the job is just
+      (slot, start) coordinates. ALL streams whose chunks share a window
+      shape ride ONE dispatch + ONE trimmed PCM fetch, with zero code
+      uploads; through a high-latency host<->device link this collapses
+      the per-chunk crossing count from O(streams) to O(1)."""
 
     def __init__(self, speech_tokenizer, collect_ms: Optional[float] = None):
         self.codec = speech_tokenizer
@@ -96,13 +123,38 @@ class DecodeWorker:
     async def decode(self, codes: np.ndarray) -> np.ndarray:
         """codes [T, 16] -> wav float32 (full window, caller trims)."""
         fut = asyncio.get_running_loop().create_future()
-        await self.queue.put((codes, fut))
+        await self.queue.put(("codes", codes, fut))
         return await fut
+
+    async def decode_pooled(
+        self, runner, slot: int, start: int, T: int, ctx: int, new: int
+    ) -> np.ndarray:
+        """Pooled window decode -> int16 PCM of exactly the new frames."""
+        fut = asyncio.get_running_loop().create_future()
+        await self.queue.put(("pool", (runner, slot, start, T, ctx, new), fut))
+        return await fut
+
+    def _run_pooled_groups(self, by_combo: dict):
+        """Device-thread half of the pooled path: one dispatch per window
+        shape; returns [(dev_pcm, group)] for the fetch thread."""
+        dispatched = []
+        for (T, ctx, new), group in by_combo.items():
+            runner = group[0][0][0]
+            dispatched.append((
+                self.codec.dispatch_pool_pcm16(
+                    runner.codes_pool,
+                    [j[1] for j, _ in group],
+                    [j[2] for j, _ in group],
+                    T, ctx, new,
+                ),
+                group,
+            ))
+        return dispatched
 
     async def _loop(self):
         while True:
-            codes, fut = await self.queue.get()
-            jobs = [(codes, fut)]
+            kind, payload, fut = await self.queue.get()
+            jobs = [(kind, payload, fut)]
             deadline = time.monotonic() + self.collect_s
             while True:
                 timeout = deadline - time.monotonic()
@@ -112,16 +164,40 @@ class DecodeWorker:
                     jobs.append(await asyncio.wait_for(self.queue.get(), timeout))
                 except asyncio.TimeoutError:
                     break
-            # group by T so equal-length windows share one batched call
+            # group classic jobs by T, pooled jobs by window shape
             by_len: dict[int, list] = {}
-            for c, f in jobs:
-                by_len.setdefault(c.shape[0], []).append((c, f))
+            by_combo: dict[tuple, list] = {}
+            for kind, payload, f in jobs:
+                if kind == "pool":
+                    runner, slot, start, T, ctx, new = payload
+                    by_combo.setdefault((T, ctx, new), []).append(
+                        ((runner, slot, start), f)
+                    )
+                else:
+                    by_len.setdefault(payload.shape[0], []).append((payload, f))
             from nano_qwen3tts_tpu.engine.device_executor import (
                 DEVICE_EXECUTOR,
                 FETCH_EXECUTOR,
             )
 
             loop = asyncio.get_running_loop()
+            if by_combo:
+                try:
+                    dispatched = await loop.run_in_executor(
+                        DEVICE_EXECUTOR, self._run_pooled_groups, by_combo
+                    )
+                    for dev, group in dispatched:
+                        pcm = await loop.run_in_executor(
+                            FETCH_EXECUTOR, np.asarray, dev
+                        )
+                        for b, (_, f) in enumerate(group):
+                            if not f.done():
+                                f.set_result(pcm[b])
+                except Exception as e:  # pragma: no cover
+                    for group in by_combo.values():
+                        for _, f in group:
+                            if not f.done():
+                                f.set_exception(e)
             # dispatch on the device thread (fast enqueue), fetch on the
             # dedicated fetch thread: the blocking device->host transfer
             # (a full round trip on a remote-relay link) must not hold the
@@ -219,6 +295,16 @@ class TTSServer:
             )
             codec_for_worker = self._decoder_proc
         self.decoder = DecodeWorker(codec_for_worker)
+        # pooled on-device window decode: needs the codec in-process (same
+        # device context as the engine's codes pool) and a single serving
+        # shard. SERVER_POOLED_DECODE=0 opts out (classic path only).
+        self._pool_combos = stream_window_combos(self.s)
+        self._pooled_enabled = (
+            self._decoder_proc is None
+            and hasattr(codec_for_worker, "dispatch_pool_pcm16")
+            and not interface.engine.runner.data_sharded
+            and os.environ.get("SERVER_POOLED_DECODE", "1") != "0"
+        )
         self._server: Optional[asyncio.AbstractServer] = None
         # DEBUG_SAVE_AUDIO=dir: dump each stream's PCM to a WAV
         # (reference server.py:103-130)
@@ -228,9 +314,19 @@ class TTSServer:
     # stream generation: frames -> PCM chunks
     # ------------------------------------------------------------------
 
-    async def _pcm_chunks(self, gen, clone_prefix: Optional[np.ndarray]):
+    async def _pcm_chunks(
+        self, gen, clone_prefix: Optional[np.ndarray],
+        stream_info: Optional[dict] = None,
+    ):
         """Consume codec frames, yield PCM16 byte chunks per the reference
-        chunking policy."""
+        chunking policy.
+
+        When ``stream_info`` carries a pooled-slot handle (the engine's
+        device-resident codes pool), full chunks with a warmed window shape
+        decode straight from the pool: the codes never cross back to the
+        device and only the trimmed PCM crosses to the host. Clone-prefix
+        context windows and final partial chunks use the classic
+        upload-the-window path (already bucket-warmed)."""
         s = self.s
         lead = np.zeros(int(s.sample_rate * s.leading_silence_ms / 1000), np.float32)
         yield pcm16_bytes(lead)
@@ -244,12 +340,31 @@ class TTSServer:
         emitted = prefix_len  # frames whose audio has been yielded (or skipped)
         chunk_no = 0
 
+        def _pooled_ok(ctx_start: int, T: int, ctxn: int, new: int) -> bool:
+            return (
+                self._pooled_enabled
+                and stream_info is not None
+                and stream_info.get("pooled")
+                and stream_info.get("held")
+                and ctx_start >= prefix_len
+                and (T, ctxn, new) in self._pool_combos
+            )
+
         async def flush(upto: int):
             nonlocal emitted, chunk_no
             ctx_start = max(0, emitted - s.context_size)
-            window = np.asarray(codes[ctx_start:upto], np.int32)  # [T, 16]
-            wav = await self.decoder.decode(window)
-            wav = wav[(emitted - ctx_start) * hop : (upto - ctx_start) * hop]
+            T = upto - ctx_start
+            ctxn = emitted - ctx_start
+            new = upto - emitted
+            if _pooled_ok(ctx_start, T, ctxn, new):
+                wav = await self.decoder.decode_pooled(
+                    self.iface.engine.runner, stream_info["slot"],
+                    ctx_start - prefix_len, T, ctxn, new,
+                )
+            else:
+                window = np.asarray(codes[ctx_start:upto], np.int32)  # [T, 16]
+                wav = await self.decoder.decode(window)
+                wav = wav[ctxn * hop : (ctxn + new) * hop]
             emitted = upto
             chunk_no += 1
             if wav.dtype == np.int16:  # device-side PCM16 path
@@ -271,41 +386,59 @@ class TTSServer:
         if len(codes) > emitted:
             yield await flush(len(codes))
 
-    async def generate_speech_stream(self, req: dict):
-        """Yield PCM16 chunks for one request dict (server.py:543-732)."""
+    def _build_stream(self, req: dict):
+        """Prepare a request: prompt prep + serve-time validation. Raises
+        ValueError (mapped to HTTP 400 by _route, BEFORE response headers)
+        for prompts the warmed deployment cannot serve without a lazy
+        compile stall (engine.validate_prompt_len). Returns
+        (embeds, trailing, clone_prefix, stream_kwargs)."""
         mode = req.get("mode")
         voice = req.get("voice", "Vivian")
         text = req.get("input") or req.get("text") or ""
         language = req.get("language", "Auto")
-        # extension over the reference API: cap generated frames (12.5/s);
-        # 0 = run to EOS. Used by load tests for deterministic durations.
-        max_frames = int(req.get("max_frames", 0) or 0)
         clone_prefix = None
         if mode == "voice_design" or req.get("instruct"):
-            gen = self.iface.generate_voice_design_async(
-                text, req.get("instruct", ""), language, max_frames=max_frames
+            embeds, trailing, _ = self.iface._prep_voice_design(
+                text, req.get("instruct", ""), language
             )
         elif self.registry.get(voice) is not None:
             prompt = self.registry.get(voice)
             if prompt.get("ref_code") is not None:
                 clone_prefix = np.asarray(prompt["ref_code"])
-            gen = self.iface.generate_voice_clone_async(
-                text, language=language, voice_clone_prompt=prompt,
-                non_streaming_mode=bool(req.get("non_streaming_mode", True)),
-                max_frames=max_frames,
+            embeds, trailing, _ = self.iface._prep_voice_clone(
+                text, language, prompt, None,
+                bool(req.get("non_streaming_mode", True)),
             )
         else:
-            gen = self.iface.generate_custom_voice_async(
-                text, language, voice, max_frames=max_frames
+            embeds, trailing, _ = self.iface._prep_custom_voice(
+                text, language, voice
             )
+        self.iface.engine.validate_prompt_len(embeds[0].shape[0])
+        return embeds, trailing, clone_prefix
+
+    async def generate_speech_stream(self, req: dict, prepped=None):
+        """Yield PCM16 chunks for one request dict (server.py:543-732)."""
+        # extension over the reference API: cap generated frames (12.5/s);
+        # 0 = run to EOS. Used by load tests for deterministic durations.
+        max_frames = int(req.get("max_frames", 0) or 0)
+        embeds, trailing, clone_prefix = prepped or self._build_stream(req)
+        stream_info: dict = {} if self._pooled_enabled else None
+        gen = self.iface.generate_async(
+            embeds[0], trailing[0], max_frames=max_frames,
+            stream_info=stream_info,
+        )
         debug_chunks = [] if self.debug_dir else None
         try:
-            async for chunk in self._pcm_chunks(gen, clone_prefix):
+            async for chunk in self._pcm_chunks(gen, clone_prefix, stream_info):
                 if debug_chunks is not None:
                     debug_chunks.append(chunk)
                 yield chunk
         finally:
             await gen.aclose()  # cancellation path -> engine.clear_request
+            if stream_info:
+                # free the codes-pool slot hold AFTER the final window
+                # decode (the engine released its own reference at finish)
+                self.iface.engine.release_stream_hold(stream_info)
             if debug_chunks:
                 try:
                     os.makedirs(self.debug_dir, exist_ok=True)
@@ -378,6 +511,27 @@ class TTSServer:
             )
         elif method == "POST" and path == "/v1/audio/speech":
             req = json.loads(body or b"{}")
+            engine = self.iface.engine
+            if hasattr(engine, "can_admit") and not engine.can_admit():
+                # bounded-queue overload (engine.EngineOverloaded): bursts
+                # up to max_num_seqs queue for freed stream slots; past the
+                # bound, tell the client to retry instead of streaming an
+                # error mid-response
+                writer.write(
+                    b"HTTP/1.1 503 Service Unavailable\r\n"
+                    b"Retry-After: 1\r\nContent-Type: application/json\r\n"
+                    b"Content-Length: 24\r\n\r\n"
+                    b'{"error": "overloaded"}\n'
+                )
+                await writer.drain()
+                return
+            try:
+                prepped = self._build_stream(req)
+            except ValueError as e:
+                # over-bucket / over-length prompt, unknown voice, bad
+                # request fields: a clean 4xx BEFORE the streaming headers
+                await _respond_json(writer, 400, {"error": str(e)})
+                return
             t0 = time.time()
             writer.write(
                 b"HTTP/1.1 200 OK\r\n"
@@ -387,7 +541,7 @@ class TTSServer:
             await writer.drain()
             n = 0
             try:
-                async for chunk in self.generate_speech_stream(req):
+                async for chunk in self.generate_speech_stream(req, prepped):
                     writer.write(b"%x\r\n" % len(chunk) + chunk + b"\r\n")
                     await writer.drain()
                     n += 1
@@ -428,9 +582,22 @@ class TTSServer:
             t0 = time.time()
             from nano_qwen3tts_tpu.engine.device_executor import DEVICE_EXECUTOR
 
-            await asyncio.get_running_loop().run_in_executor(
-                DEVICE_EXECUTOR, self.iface.warmup
-            )
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(DEVICE_EXECUTOR, self.iface.warmup)
+            if self._pooled_enabled:
+                # pooled window-decode programs for every chunk shape the
+                # policy produces, at every batch bucket up to the lane cap
+                runner = self.iface.engine.runner
+                cap = runner.cfg.max_active_streams
+                buckets = [b for b in (1, 2, 4, 8, 16, 32, 64) if b <= cap]
+                if not buckets or buckets[-1] < cap:
+                    buckets.append(1 << (cap - 1).bit_length())
+                await loop.run_in_executor(
+                    DEVICE_EXECUTOR,
+                    lambda: self.iface.speech_tokenizer.warmup_pool(
+                        runner.codes_pool, sorted(self._pool_combos), buckets
+                    ),
+                )
             logger.info("warmup done in %.1fs", time.time() - t0)
         self._server = await asyncio.start_server(self._handle, host, port)
         logger.info("serving on %s:%d", host, port)
@@ -459,7 +626,10 @@ def pcm16_bytes(wav: np.ndarray) -> bytes:
 
 async def _respond_json(writer, status, obj):
     body = json.dumps(obj).encode()
-    codes = {200: b"OK", 404: b"Not Found", 500: b"Internal Server Error"}
+    codes = {
+        200: b"OK", 400: b"Bad Request", 404: b"Not Found",
+        500: b"Internal Server Error", 503: b"Service Unavailable",
+    }
     writer.write(
         b"HTTP/1.1 %d %s\r\nContent-Type: application/json\r\n"
         b"Content-Length: %d\r\n\r\n" % (status, codes.get(status, b"?"), len(body))

@@ -171,6 +171,123 @@ def test_404(iface):
     assert run_with_server(iface, go) == 404
 
 
+def test_voice_clone_http_path(iface, tmp_path):
+    """End-to-end HTTP clone path (VERDICT r4 next #6): register a voice
+    via POST /v1/voices (base64 WAV), then stream with it — the
+    clone-prefix reference frames are decoded as context but their samples
+    are SKIPPED at yield (reference examples/server.py:495-538,657-681), so
+    the emitted audio is exactly leading silence + max_frames of samples."""
+    import base64
+    import io
+    import wave
+
+    hop = iface.speech_tokenizer.cfg.hop
+    sr = 24000
+    # ~1 s sine as reference audio -> ~18 codec frames on the tiny codec
+    t = np.arange(sr, dtype=np.float32) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        pcm = np.clip(ref * 32767, -32768, 32767).astype("<i2")
+        w.writeframes(pcm.tobytes())
+    ref_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    n_frames = 12
+
+    async def go(port):
+        def register():
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            c.request(
+                "POST", "/v1/voices",
+                json.dumps({"name": "klon", "ref_audio": ref_b64,
+                            "ref_text": "reference words"}),
+            )
+            r = c.getresponse()
+            return r.status, json.loads(r.read())
+
+        st, body = await asyncio.to_thread(register)
+        assert st == 200 and body["registered"] == "klon"
+
+        def voices():
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.request("GET", "/voices")
+            return json.loads(c.getresponse().read())
+
+        v = await asyncio.to_thread(voices)
+        assert "klon" in v["cloned"]
+
+        payload = {"input": "Cloned speech", "voice": "klon",
+                   "language": "English", "max_frames": n_frames}
+        return await asyncio.to_thread(
+            stream_speech, "127.0.0.1", port, payload
+        )
+
+    wav, stats = run_with_server(iface, go)
+    lead = int(24000 * 0.05)
+    # prefix frames decoded but not yielded: output is exactly the
+    # requested frames' samples
+    assert len(wav) == lead + n_frames * hop, (len(wav), hop)
+
+
+def test_over_bucket_prompt_maps_to_400(iface):
+    """A prompt longer than the largest warmed prefill bucket is rejected
+    with HTTP 400 BEFORE streaming headers (VERDICT r4 next #8) — when the
+    engine is warmed (serving deployments warm at start)."""
+
+    async def go(port):
+        iface.engine.runner._warmed = True
+        try:
+            def req():
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+                # tiny tokenizer: 1 token per word-ish; build a prompt that
+                # preps past prefill_buckets[-1]=256 embedding positions
+                c.request(
+                    "POST", "/v1/audio/speech",
+                    json.dumps({"input": "word " * 400, "voice": "Vivian",
+                                "language": "English", "max_frames": 2}),
+                )
+                r = c.getresponse()
+                return r.status, r.read()
+
+            return await asyncio.to_thread(req)
+        finally:
+            iface.engine.runner._warmed = False
+
+    status, body = run_with_server(iface, go)
+    assert status == 400
+    assert b"prefill" in body or b"max_model_len" in body
+
+
+def test_admission_queue_full_maps_to_503(iface):
+    """Past the bounded admission queue the server answers 503 with
+    Retry-After instead of a broken stream (VERDICT r4 next #4)."""
+
+    async def go(port):
+        old = iface.engine.cfg.max_num_seqs
+        # fake a full queue: bound <= current live requests (0) is
+        # impossible, so set the bound to 0
+        iface.engine.cfg.max_num_seqs = 0
+        try:
+            def req():
+                c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+                c.request(
+                    "POST", "/v1/audio/speech",
+                    json.dumps({"input": "hi", "voice": "Vivian"}),
+                )
+                r = c.getresponse()
+                return r.status, r.getheader("Retry-After")
+
+            return await asyncio.to_thread(req)
+        finally:
+            iface.engine.cfg.max_num_seqs = old
+
+    status, retry = run_with_server(iface, go)
+    assert status == 503 and retry == "1"
+
+
 @pytest.fixture()
 def pressure_iface():
     """Interface whose engine has too few KV blocks for two long streams —

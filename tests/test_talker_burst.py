@@ -126,6 +126,36 @@ def test_burst_matches_xla_stack(setup, rng):
             )
 
 
+def test_paned_burst_matches_single_pane(setup, rng, monkeypatch):
+    """The (L, n_panes) pane grid (the 64+-lane compile-budget form) must be
+    BIT-IDENTICAL to the flat single-pane kernel: each pane runs exactly the
+    batched-attention math on its lane slice, and the per-layer weight
+    stream/DMA choreography must not perturb results or clobber other
+    panes' cache rows."""
+    monkeypatch.setenv("NANO_TTS_BURST_BATCHED_ATTN", "1")
+    spec, params = setup
+    B, bs, hist = 8, 128, 50
+    L = TC.num_hidden_layers
+    tables = np.arange(1, B + 1, dtype=np.int32).reshape(B, 1)
+    kc, vc = _seeded_cache(L, bs, tables, hist, rng)
+    x = jnp.asarray(rng.standard_normal((B, TC.hidden_size)) * 0.3, jnp.bfloat16)
+    positions = jnp.full((B,), hist + 1, jnp.int32)
+    kv_lens = jnp.full((B,), hist + 1, jnp.int32)
+    bt = jnp.asarray(tables)
+
+    hid1, kc1, vc1 = talker_stack_burst(
+        params, spec, x, positions, bt, kv_lens, kc, vc, bs, interpret=True,
+    )
+    hid2, kc2, vc2 = talker_stack_burst(
+        params, spec, x, positions, bt, kv_lens, kc, vc, bs, interpret=True,
+        pane_size=4,
+    )
+    np.testing.assert_array_equal(np.asarray(hid1), np.asarray(hid2))
+    for c1, c2 in ((kc1, kc2), (vc1, vc2)):
+        np.testing.assert_array_equal(np.asarray(c1.q), np.asarray(c2.q))
+        np.testing.assert_array_equal(np.asarray(c1.s), np.asarray(c2.s))
+
+
 def test_burst_requires_one_block_per_lane(setup, rng):
     spec, params = setup
     kc, _ = make_kv_cache_int8(TC.num_hidden_layers, 8, 64, 2, 64)
