@@ -396,9 +396,15 @@ def main():
 
     try:
         # batch 8 (north-star diagnostic: 8 CCU < real time)
-        if smoke or time_left() < 60:
-            raise TimeoutError("skipping batch-8 leg")
+        if smoke:
+            raise TimeoutError("skipping batch-8 leg: smoke run")
+        if time_left() < 60:
+            raise TimeoutError(
+                f"skipping batch-8 leg: {time_left():.0f}s left < 60"
+            )
+        t0 = time.time()
         engine.runner.warmup(decode_buckets=(8,), prefill_shapes=[(pb, tb)])
+        warm8_s = time.time() - t0
 
         # first-chunk p50 at 8 CCU (north-star metric; VERDICT r2 next #9):
         # 8 simultaneous arrivals through the just-warmed prefill + decode
@@ -426,27 +432,89 @@ def main():
         # batch bmax (throughput ceiling): the burst kernels' per-frame
         # weight stream is batch-independent, so per-stream cost keeps
         # dropping as lanes fill — the chip's codec-token throughput story.
-        if bmax > 8 and time_left() > 60:
-            engine.runner.warmup(decode_buckets=(bmax,), prefill_shapes=[])
-            step_s_b = run_stream(engine, tc, bmax, n_frames)
-            fps_b = bmax / step_s_b
-            log(
-                f"batch={bmax}: {step_s_b*1e3:.1f} ms/frame/step, "
-                f"per-stream RTF={step_s_b/FRAME_SECONDS:.3f}, "
-                f"{fps_b:.1f} frames/s/chip, "
-                f"{fps_b*16:.0f} codec tokens/s/chip"
-            )
-            print(json.dumps({
-                "metric": f"codec_tokens_per_s_per_chip_batch{bmax}",
-                "value": round(fps_b * 16),
-                "unit": "codec tokens/s/chip (throughput tier)",
-            }), file=sys.stderr, flush=True)
-        elif bmax > 8:
-            log(f"batch={bmax} leg skipped: {time_left():.0f}s left < 90s")
+        #
+        # Budget gate (VERDICT r4 next #7): a CACHE-COLD bmax-lane burst
+        # program is a ~20 min Mosaic compile through the relay — far past
+        # any driver deadline, and once inside the C-level compile SIGTERM
+        # can't be handled. The batch-8 warmup time is the measured
+        # coldness signal: warm cache loads take seconds, cold compiles
+        # minutes. Run the leg only if the remaining budget covers the
+        # estimated compile (~90 s warm, 1500 s cold); otherwise print the
+        # one-line skip reason — never a silent truncation.
+        if bmax > 8:
+            cold = warm8_s > 30
+            need = 1500 if cold else 90
+            if time_left() > need:
+                engine.runner.warmup(decode_buckets=(bmax,), prefill_shapes=[])
+                step_s_b = run_stream(engine, tc, bmax, n_frames)
+                fps_b = bmax / step_s_b
+                log(
+                    f"batch={bmax}: {step_s_b*1e3:.1f} ms/frame/step, "
+                    f"per-stream RTF={step_s_b/FRAME_SECONDS:.3f}, "
+                    f"{fps_b:.1f} frames/s/chip, "
+                    f"{fps_b*16:.0f} codec tokens/s/chip"
+                )
+                print(json.dumps({
+                    "metric": f"codec_tokens_per_s_per_chip_batch{bmax}",
+                    "value": round(fps_b * 16),
+                    "unit": "codec tokens/s/chip (throughput tier)",
+                }), file=sys.stderr, flush=True)
+            else:
+                log(f"batch={bmax} leg skipped: {time_left():.0f}s left < "
+                    f"{need}s needed (batch-8 warmup took {warm8_s:.0f}s -> "
+                    f"cache {'COLD' if cold else 'warm'})")
     except TimeoutError as e:
         log(str(e))
     except Exception as e:  # diagnostics only — never fail the bench
         log(f"diagnostic legs stopped: {e}")
+
+    # Full-HTTP-stack serving leg (VERDICT r4 next #1: the serve_bench
+    # numbers belong on the DRIVER-VISIBLE record, not just PARITY.md).
+    # Runs examples/serve_bench.py as a subprocess — a second TPU-relay
+    # client coexists with this one (verified) — with the pooled on-device
+    # window decode serving path. Gated on remaining budget and on the
+    # warm-cache signal; skips with a one-line reason otherwise.
+    try:
+        if smoke or os.environ.get("BENCH_SERVE", "1") == "0":
+            raise TimeoutError("serving leg skipped: smoke/disabled")
+        budget = time_left() - 45
+        if budget < 360:
+            raise TimeoutError(
+                f"serving leg skipped: {time_left():.0f}s left < 405"
+            )
+        import subprocess
+
+        log("serving leg: examples/serve_bench.py --ccu 8,16,32 (HTTP stack)")
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "examples", "serve_bench.py"),
+             "--ccu", "8,16,32", "--frames", "120", "--port", "17911"],
+            capture_output=True, text=True, timeout=budget,
+        )
+        rows = []
+        for line in p.stdout.splitlines():
+            try:
+                rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+        if not rows:
+            tail = (p.stderr or "")[-300:].replace("\n", " | ")
+            log(f"serving leg produced no rows (rc={p.returncode}): {tail}")
+        for row in rows:
+            print(json.dumps({
+                "metric": f"serving_rtf_p50_{row['ccu']}ccu",
+                "value": row["rtf_p50"],
+                "unit": "per-stream RTF p50 through the full HTTP serving "
+                        "stack (streaming chunks, pooled on-device window "
+                        "decode)",
+                "first_chunk_p50_ms": row["first_chunk_p50_ms"],
+                "inner_chunk_p50_ms": row["inner_chunk_p50_ms"],
+            }), file=sys.stderr, flush=True)
+    except TimeoutError as e:
+        log(str(e))
+    except Exception as e:
+        log(f"serving leg skipped: {e}")
 
     emit_result()
     log(f"done in {time.time()-T_START:.0f}s")

@@ -300,20 +300,27 @@ def predictor_frame_burst(
     temperatures: jax.Array,  # [B] f32
     key: jax.Array,  # PRNG key — same key-split sequence as predictor_frame
     interpret: bool = False,
+    pane_size: int = 32,
 ):
     """Drop-in alternative to models/predictor.predictor_frame (same
     signature, same outputs: tokens [B, 15] int32, pred_emb_sum [B, D]).
-    For a given key it samples the same tokens as the XLA path."""
+    For a given key it samples the same tokens as the XLA path.
+
+    B > pane_size (the 64+-lane tier) runs as ceil(B/pane_size) SEQUENTIAL
+    pane calls of the proven <=32-lane kernel: the flat 64-lane kernel
+    body reproducibly OOM-kills the chipless Mosaic compile helper
+    (tools/b64_kernel_probe.py, ~20 min then SIGKILL), while pane calls
+    reuse the compile-budget-proven shape. Cost of the split is one extra
+    HBM->VMEM stream of the ~63 MB of predictor weights per extra pane
+    (~0.1 ms on v5e) — the per-token matmul passes are M<=32 MXU-latency
+    bound either way, so a flat 64-lane kernel would run nearly the same
+    wall time. The Gumbel slabs are drawn ONCE at full B with the XLA
+    path's exact key-split sequence and sliced per pane, so the split
+    samples IDENTICAL tokens to both the XLA path and a hypothetical flat
+    kernel at the same key."""
     lay = params["layers"]
     B, D = talker_hidden.shape
-    tables = params["codec_embeddings"].astype(jnp.bfloat16)  # [15, V, D]
-    V = tables.shape[1]
-    num_layers = lay["input_layernorm"].shape[0]
-    heads = params["lm_heads"]  # QuantizedWeight [15, D, V]
-    cos_np, sin_np, rot_np = _rope_tables(spec, NUM_STEPS + 2)
-    cos = jnp.asarray(cos_np.reshape(NUM_STEPS + 2, 1, spec.head_dim))
-    sin = jnp.asarray(sin_np.reshape(NUM_STEPS + 2, 1, spec.head_dim))
-    rot = jnp.asarray(rot_np, jnp.bfloat16)
+    V = params["codec_embeddings"].shape[1]
 
     # Gumbel noise, one [B, V] slab per sampled codebook, drawn with the
     # exact split sequence predictor_frame feeds to jax.random.categorical
@@ -325,6 +332,45 @@ def predictor_frame_burst(
     gumbels = jax.vmap(
         lambda k: jax.random.gumbel(k, (B, V), jnp.float32)
     )(jnp.stack(subs))  # [15, B, V]
+
+    if B > pane_size:
+        n_panes = -(-B // pane_size)
+        assert B % n_panes == 0, f"batch {B} not divisible into panes"
+        bp = B // n_panes
+        toks, sums = [], []
+        for p in range(n_panes):
+            sl = slice(p * bp, (p + 1) * bp)
+            t, s = _run_burst(
+                params, spec, talker_hidden[sl], cb0_embed[sl],
+                temperatures[sl], gumbels[:, sl], interpret,
+            )
+            toks.append(t)
+            sums.append(s)
+        return (
+            jnp.concatenate(toks, axis=0),
+            jnp.concatenate(sums, axis=0).astype(talker_hidden.dtype),
+        )
+    t, s = _run_burst(
+        params, spec, talker_hidden, cb0_embed, temperatures, gumbels,
+        interpret,
+    )
+    return t, s.astype(talker_hidden.dtype)
+
+
+def _run_burst(params, spec, talker_hidden, cb0_embed, temperatures,
+               gumbels, interpret):
+    """One <=32-lane kernel invocation. gumbels [15, B, V] — precomputed by
+    the caller (sliced per pane in split mode)."""
+    lay = params["layers"]
+    B, D = talker_hidden.shape
+    tables = params["codec_embeddings"].astype(jnp.bfloat16)  # [15, V, D]
+    V = tables.shape[1]
+    num_layers = lay["input_layernorm"].shape[0]
+    heads = params["lm_heads"]  # QuantizedWeight [15, D, V]
+    cos_np, sin_np, rot_np = _rope_tables(spec, NUM_STEPS + 2)
+    cos = jnp.asarray(cos_np.reshape(NUM_STEPS + 2, 1, spec.head_dim))
+    sin = jnp.asarray(sin_np.reshape(NUM_STEPS + 2, 1, spec.head_dim))
+    rot = jnp.asarray(rot_np, jnp.bfloat16)
 
     n_steps = NUM_STEPS + 2  # 16 token positions + final-embed step
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -397,4 +443,4 @@ def predictor_frame_burst(
         gumbels,
         temperatures.astype(jnp.float32).reshape(B, 1),
     )
-    return toks.reshape(NUM_STEPS, B).T, emb_sum.astype(talker_hidden.dtype)
+    return toks.reshape(NUM_STEPS, B).T, emb_sum

@@ -101,8 +101,11 @@ class DecodeWorker:
         if collect_ms is None:
             # under many CCU, a longer window lets all live streams' chunks
             # ride one batched codec call (reference: decode micro-batching,
-            # server.py:372-465)
-            collect_ms = float(os.environ.get("DECODER_COLLECT_MS", "8"))
+            # server.py:372-465). The engine loop emits every live stream's
+            # frames from ONE fetch, so same-cycle chunk jobs arrive within
+            # one event-loop tick — 4 ms merges them without taxing
+            # inner-chunk latency the way the old 8 ms did.
+            collect_ms = float(os.environ.get("DECODER_COLLECT_MS", "4"))
         self.collect_s = collect_ms / 1e3
         self.queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None

@@ -162,3 +162,32 @@ def test_burst_sampling_consistent(setup, B, temp):
     np.testing.assert_allclose(
         np.asarray(sum_p, np.float32), want, rtol=3e-2, atol=3e-2
     )
+
+
+def test_pane_split_bit_identical(setup):
+    """B > pane_size runs as sequential <=32-lane pane calls (the 64-lane
+    compile-budget form, tools/b64_kernel_probe.py evidence): the split
+    must sample BIT-identical tokens and embed sums to the flat kernel at
+    the same key — the Gumbel slabs are drawn once at full B and sliced
+    per pane, so pane boundaries cannot perturb the sampling stream."""
+    cfg, spec, pp = setup
+    B = 8
+    rng = np.random.default_rng(64)
+    hidden = jnp.asarray(
+        rng.standard_normal((B, cfg.hidden_size)) * 0.5, jnp.bfloat16
+    )
+    cb0 = jnp.asarray(
+        rng.standard_normal((B, cfg.hidden_size)) * 0.5, jnp.bfloat16
+    )
+    temps = jnp.full((B,), 0.9, jnp.float32)
+    key = jax.random.PRNGKey(11)
+    toks_flat, sum_flat = predictor_frame_burst(
+        pp, spec, hidden, cb0, temps, key, interpret=True
+    )
+    toks_split, sum_split = predictor_frame_burst(
+        pp, spec, hidden, cb0, temps, key, interpret=True, pane_size=4
+    )
+    np.testing.assert_array_equal(np.asarray(toks_flat), np.asarray(toks_split))
+    np.testing.assert_array_equal(
+        np.asarray(sum_flat, np.float32), np.asarray(sum_split, np.float32)
+    )
