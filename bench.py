@@ -92,9 +92,12 @@ def build_engine(smoke: bool):
     # v5e vs the per-layer paths. BENCH_ATTN=pallas/xla + a 128 block size
     # select the per-layer attention paths instead.
     attn = os.environ.get("BENCH_ATTN", "auto")
-    # BENCH_MAX_BATCH > 32 widens the lane caps (the batch-64 throughput
-    # probe); the default stays at the batch-32 measured optimum.
-    bmax = int(os.environ.get("BENCH_MAX_BATCH", "32"))
+    # Default 64 (r5): the paned burst kernels ((L, n_panes) talker grid,
+    # sequential 32-lane predictor pane calls) fit the 64-lane program in
+    # the Mosaic compile budget that OOMed the flat r4 formulation, so the
+    # batch-64 throughput tier is measurable — and on the driver record —
+    # by default. BENCH_MAX_BATCH=32 restores the r4 shape.
+    bmax = int(os.environ.get("BENCH_MAX_BATCH", "64"))
     streams = max(32, min(bmax, 128))
     buckets = (1, 2, 4, 8, 16, 32) + tuple(
         b for b in (64, 128) if b <= streams
@@ -342,7 +345,7 @@ def main():
     # batch-32 burst compile takes >10 min through the relay and blocks
     # SIGTERM delivery, so the leg stays behind the deadline gate below and
     # the primary JSON line is printed before it can start.
-    bmax = int(os.environ.get("BENCH_MAX_BATCH", "4" if smoke else "32"))
+    bmax = int(os.environ.get("BENCH_MAX_BATCH", "4" if smoke else "64"))
     bmax = min(bmax, engine.cfg.max_active_streams, engine.cfg.decode_buckets[-1])
     tb = engine.cfg.prefill_buckets[0]
     pb = engine.cfg.max_prefill_batch
@@ -441,28 +444,30 @@ def main():
         # minutes. Run the leg only if the remaining budget covers the
         # estimated compile (~90 s warm, 1500 s cold); otherwise print the
         # one-line skip reason — never a silent truncation.
-        if bmax > 8:
-            cold = warm8_s > 30
+        cold = warm8_s > 30
+        for b in (32, 64):
+            if b > bmax:
+                continue
             need = 1500 if cold else 90
-            if time_left() > need:
-                engine.runner.warmup(decode_buckets=(bmax,), prefill_shapes=[])
-                step_s_b = run_stream(engine, tc, bmax, n_frames)
-                fps_b = bmax / step_s_b
-                log(
-                    f"batch={bmax}: {step_s_b*1e3:.1f} ms/frame/step, "
-                    f"per-stream RTF={step_s_b/FRAME_SECONDS:.3f}, "
-                    f"{fps_b:.1f} frames/s/chip, "
-                    f"{fps_b*16:.0f} codec tokens/s/chip"
-                )
-                print(json.dumps({
-                    "metric": f"codec_tokens_per_s_per_chip_batch{bmax}",
-                    "value": round(fps_b * 16),
-                    "unit": "codec tokens/s/chip (throughput tier)",
-                }), file=sys.stderr, flush=True)
-            else:
-                log(f"batch={bmax} leg skipped: {time_left():.0f}s left < "
+            if time_left() <= need:
+                log(f"batch={b} leg skipped: {time_left():.0f}s left < "
                     f"{need}s needed (batch-8 warmup took {warm8_s:.0f}s -> "
                     f"cache {'COLD' if cold else 'warm'})")
+                continue
+            engine.runner.warmup(decode_buckets=(b,), prefill_shapes=[])
+            step_s_b = run_stream(engine, tc, b, n_frames)
+            fps_b = b / step_s_b
+            log(
+                f"batch={b}: {step_s_b*1e3:.1f} ms/frame/step, "
+                f"per-stream RTF={step_s_b/FRAME_SECONDS:.3f}, "
+                f"{fps_b:.1f} frames/s/chip, "
+                f"{fps_b*16:.0f} codec tokens/s/chip"
+            )
+            print(json.dumps({
+                "metric": f"codec_tokens_per_s_per_chip_batch{b}",
+                "value": round(fps_b * 16),
+                "unit": "codec tokens/s/chip (throughput tier)",
+            }), file=sys.stderr, flush=True)
     except TimeoutError as e:
         log(str(e))
     except Exception as e:  # diagnostics only — never fail the bench

@@ -8,11 +8,17 @@ from nano_qwen3tts_tpu.engine.sequence import Sequence, SequenceStatus
 
 
 def make_seq(L=10, request_id=None, block_size=128):
-    return Sequence(
+    seq = Sequence(
         np.zeros((L, 8), dtype=np.float32),
         request_id=request_id,
         block_size=block_size,
     )
+    # The engine assigns a pool slot at admission (engine._attach_slot);
+    # a slotless (pool_slot < 0) sequence is parked by the scheduler until
+    # a slot frees (graceful overload). These unit tests exercise the
+    # scheduler alone, so stand in for the engine's assignment.
+    seq.pool_slot = 1
+    return seq
 
 
 def make_sched(blocks=32, block_size=128, **kw):
