@@ -241,6 +241,163 @@ def _burst_kernel(
     del _init, _accum, _emit_sum, _transformer
 
 
+def _burst_kernel_loop(
+    # inputs
+    x01_ref, qkv_q_ref, qkv_s_ref, o_q_ref, o_s_ref, gu_q_ref, gu_s_ref,
+    dn_q_ref, dn_s_ref, ln1_ref, ln2_ref, qn_ref, kn_ref, fn_ref,
+    cos_ref, sin_ref, rot_ref, table_ref, head_q_ref, head_s_ref, gum_ref,
+    temps_ref,
+    # outputs
+    toks_ref, emb_ref,
+    # scratch
+    k_scr, v_scr, emb_acc,
+    *, spec: AttnSpec, num_layers: int, B: int, D: int, V: int,
+):
+    """Loop-formulation twin of _burst_kernel for the flat 64-lane tier.
+
+    Same math, same sampling, same outputs — but the 5-layer transformer
+    body runs as ONE ``lax.fori_loop`` iteration with dynamically indexed
+    weight refs, and the top-k bisection as a 30-iteration ``fori_loop``,
+    instead of Python-unrolled copies. The unrolled body is what blows the
+    chipless Mosaic compile helper's memory at B=64 (tools/
+    b64_kernel_probe.py: ~20 min then SIGKILL): compile memory scales with
+    the number of traced vector ops, and the unrolled kernel carries
+    5 layers x the full attention/matmul graph + 30 bisection steps at
+    [B, V]. Looping collapses that to one layer body + one bisection step.
+    The payoff of a flat 64-lane call over two sequential 32-lane panes:
+    every matmul pass is MXU-latency-bound at M <= 64, so one M=64 pass
+    costs the same wall time as one M=32 pass — 2x the lanes for free."""
+    s = pl.program_id(0)
+    Hq, Hkv, d = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    nq, nkv = Hq * d, Hkv * d
+
+    @pl.when(s == 0)
+    def _init():
+        emb_acc[:] = jnp.zeros((B, D), jnp.float32)
+        k_scr[:] = jnp.zeros(k_scr.shape, k_scr.dtype)
+        v_scr[:] = jnp.zeros(v_scr.shape, v_scr.dtype)
+
+    prev = toks_ref[pl.ds(jnp.maximum(s - 2, 0), 1)].reshape(1, B)  # int32
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (V, B), 0) == prev
+    ).astype(jnp.bfloat16)  # [V, B]
+    x_tok = jax.lax.dot_general(
+        onehot, table_ref[0],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # [B, D]
+
+    @pl.when(s >= 2)
+    def _accum():
+        emb_acc[:] = emb_acc[:] + x_tok.astype(jnp.float32)
+
+    @pl.when(s == NUM_STEPS + 1)  # s == 16: final table-14 embed only
+    def _emit_sum():
+        emb_ref[:] = emb_acc[:]
+
+    @pl.when(s <= NUM_STEPS)
+    def _transformer():
+        x = jnp.where(
+            s == 0, x01_ref[0], jnp.where(s == 1, x01_ref[1], x_tok)
+        ).astype(jnp.bfloat16)
+
+        cos = cos_ref[0].astype(jnp.bfloat16)  # [1, d] (per-step block)
+        sin = sin_ref[0].astype(jnp.bfloat16)
+        rot = rot_ref[:]  # [d, d] rotate-half permutation (+-1 entries)
+
+        def rope(t):  # t [B, H, d]
+            tr = jax.lax.dot_general(
+                t.reshape(-1, d), rot,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(t.dtype).reshape(t.shape)
+            return t * cos[None] + tr * sin[None]
+
+        def layer_body(l, h):
+            xn = _rms_norm(h, ln1_ref[l, 0], spec.rms_norm_eps)
+            qkv = _int8_mm(xn, qkv_q_ref.at[l], qkv_s_ref.at[l])
+            q = qkv[:, :nq].reshape(B, Hq, d)
+            k = qkv[:, nq : nq + nkv].reshape(B, Hkv, d)
+            v = qkv[:, nq + nkv :]  # [B, nkv] flat
+            if not spec.qkv_bias:  # per-head QK-RMSNorm
+                q = _rms_norm(q, qn_ref[l, 0], spec.rms_norm_eps)
+                k = _rms_norm(k, kn_ref[l, 0], spec.rms_norm_eps)
+            q = rope(q)
+            k = rope(k)
+
+            k_scr[l, pl.ds(s, 1)] = k.reshape(1, B, nkv)
+            v_scr[l, pl.ds(s, 1)] = v.reshape(1, B, nkv)
+
+            n_rep = Hq // Hkv
+            kw = k_scr[l].reshape(W_PAD, B, Hkv, 1, d)
+            vw = v_scr[l].reshape(W_PAD, B, Hkv, 1, d)
+            kw = jnp.broadcast_to(kw, (W_PAD, B, Hkv, n_rep, d)).reshape(
+                W_PAD, B * Hq, d
+            )
+            vw = jnp.broadcast_to(vw, (W_PAD, B, Hkv, n_rep, d)).reshape(
+                W_PAD, B * Hq, d
+            )
+            qf = q.astype(jnp.float32).reshape(B * Hq, d)
+            scores = jnp.sum(
+                qf[None] * kw.astype(jnp.float32), axis=-1
+            ) * spec.scale  # [W, B*Hq]
+            wmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (W_PAD, B * Hq), 0) <= s
+            )
+            scores = jnp.where(wmask, scores, NEG_INF)
+            m = jnp.max(scores, axis=0, keepdims=True)
+            p = jnp.exp(scores - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)
+            attn = jnp.sum(
+                p[..., None] * vw.astype(jnp.float32), axis=0
+            )  # [B*Hq, d] f32
+            attn = attn.astype(jnp.bfloat16).reshape(B, nq)
+
+            h = h + _int8_mm(attn, o_q_ref.at[l], o_s_ref.at[l])
+            xn2 = _rms_norm(h, ln2_ref[l, 0], spec.rms_norm_eps)
+            gu = _int8_mm(xn2, gu_q_ref.at[l], gu_s_ref.at[l])  # [B, 2I]
+            I = gu.shape[-1] // 2
+            g_ = gu[:, :I]
+            sig = (
+                1.0 / (1.0 + jnp.exp(-g_.astype(jnp.float32)))
+            ).astype(jnp.bfloat16)
+            act = (g_ * sig) * gu[:, I:]
+            h = h + _int8_mm(act, dn_q_ref.at[l], dn_s_ref.at[l])
+            return h
+
+        h = jax.lax.fori_loop(0, num_layers, layer_body, x)
+
+        @pl.when(s >= 1)
+        def _sample():
+            hidden = _rms_norm(h, fn_ref[:], spec.rms_norm_eps)
+            logits = _int8_mm(
+                hidden, head_q_ref.at[0], head_s_ref.at[0], jnp.bfloat16
+            ).astype(jnp.float32)
+            logits = logits / temps_ref[:, :1]
+
+            lo = jnp.min(logits, axis=-1, keepdims=True) - 1.0
+            hi = jnp.max(logits, axis=-1, keepdims=True)
+
+            def bisect_body(_, c):
+                lo_, hi_ = c
+                mid = 0.5 * (lo_ + hi_)
+                cnt = jnp.sum(
+                    (logits >= mid).astype(jnp.float32), axis=-1, keepdims=True
+                )
+                keep = cnt >= TOP_K
+                return jnp.where(keep, mid, lo_), jnp.where(keep, hi_, mid)
+
+            lo, hi = jax.lax.fori_loop(0, BISECT_ITERS, bisect_body, (lo, hi))
+            masked = jnp.where(logits >= lo, logits, NEG_INF)
+
+            tok = jnp.argmax(masked + gum_ref[0], axis=-1).astype(jnp.int32)
+            toks_ref[pl.ds(s - 1, 1)] = tok.reshape(1, 1, B)
+
+        del _sample
+
+    del _init, _accum, _emit_sum, _transformer
+
+
 def _rotate_half_matrix(d: int) -> np.ndarray:
     """R such that x @ R == concat(-x[d/2:], x[:d/2]) (rotate_half)."""
     R = np.zeros((d, d), np.float32)
@@ -301,10 +458,18 @@ def predictor_frame_burst(
     key: jax.Array,  # PRNG key — same key-split sequence as predictor_frame
     interpret: bool = False,
     pane_size: int = 32,
+    flat: bool | None = None,
 ):
     """Drop-in alternative to models/predictor.predictor_frame (same
     signature, same outputs: tokens [B, 15] int32, pred_emb_sum [B, D]).
     For a given key it samples the same tokens as the XLA path.
+
+    ``flat`` (default: env PREDICTOR_BURST_FLAT=1) runs B > pane_size as
+    ONE loop-formulation kernel call (_burst_kernel_loop) instead of
+    sequential panes: every matmul pass is MXU-latency-bound at M <= 64,
+    so the flat M=64 call costs one pane's wall time — 2x the pane-split
+    throughput — while the fori_loop body keeps the Mosaic compile memory
+    at the one-layer size that the unrolled flat kernel blew.
 
     B > pane_size (the 64+-lane tier) runs as ceil(B/pane_size) SEQUENTIAL
     pane calls of the proven <=32-lane kernel: the flat 64-lane kernel
@@ -333,7 +498,11 @@ def predictor_frame_burst(
         lambda k: jax.random.gumbel(k, (B, V), jnp.float32)
     )(jnp.stack(subs))  # [15, B, V]
 
-    if B > pane_size:
+    if flat is None:
+        import os
+
+        flat = os.environ.get("PREDICTOR_BURST_FLAT") == "1"
+    if B > pane_size and not flat:
         n_panes = -(-B // pane_size)
         assert B % n_panes == 0, f"batch {B} not divisible into panes"
         bp = B // n_panes
@@ -352,15 +521,16 @@ def predictor_frame_burst(
         )
     t, s = _run_burst(
         params, spec, talker_hidden, cb0_embed, temperatures, gumbels,
-        interpret,
+        interpret, loop_body=bool(flat) and B > pane_size,
     )
     return t, s.astype(talker_hidden.dtype)
 
 
 def _run_burst(params, spec, talker_hidden, cb0_embed, temperatures,
-               gumbels, interpret):
-    """One <=32-lane kernel invocation. gumbels [15, B, V] — precomputed by
-    the caller (sliced per pane in split mode)."""
+               gumbels, interpret, loop_body: bool = False):
+    """One kernel invocation (<=32 lanes unrolled, or any B with
+    loop_body=True). gumbels [15, B, V] — precomputed by the caller
+    (sliced per pane in split mode)."""
     lay = params["layers"]
     B, D = talker_hidden.shape
     tables = params["codec_embeddings"].astype(jnp.bfloat16)  # [15, V, D]
@@ -399,7 +569,8 @@ def _run_burst(params, spec, talker_hidden, cb0_embed, temperatures,
     ]
 
     kernel = functools.partial(
-        _burst_kernel, spec=spec, num_layers=num_layers, B=B, D=D, V=V
+        _burst_kernel_loop if loop_body else _burst_kernel,
+        spec=spec, num_layers=num_layers, B=B, D=D, V=V,
     )
     toks, emb_sum = pl.pallas_call(
         kernel,

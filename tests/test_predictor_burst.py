@@ -89,7 +89,8 @@ def xla_logits_teacher_forced(cfg, spec, pp, hidden, cb0, tokens):
     return np.stack(out)
 
 
-def assert_sampling_consistent(cfg, spec, pp, hidden, cb0, toks_p, temps, key):
+def assert_sampling_consistent(cfg, spec, pp, hidden, cb0, toks_p, temps, key,
+                               tol_scale: float = 1.0):
     """Teacher-force the XLA model with the pallas tokens and assert every
     pallas pick maximizes (masked_logits/T + gumbel) within ~2 bf16 ulps —
     i.e. the kernel sampled what the XLA model would have sampled given the
@@ -111,7 +112,7 @@ def assert_sampling_consistent(cfg, spec, pp, hidden, cb0, toks_p, temps, key):
         for b in range(B):
             # ~3 bf16 ulps of the raw logit magnitude, in temperature units
             raw_top = np.abs(logits[j, b]).max()
-            tol = (raw_top * 2.0 ** -6 + 1e-6) / temps_np[b]
+            tol = tol_scale * (raw_top * 2.0 ** -6 + 1e-6) / temps_np[b]
             # the pick must be in the top-k mask up to boundary rounding...
             chosen_lg = lg[b, toks_p[b, j]]
             assert chosen_lg >= kth[b, 0] - tol, (j, b, chosen_lg, kth[b, 0])
@@ -190,4 +191,56 @@ def test_pane_split_bit_identical(setup):
     np.testing.assert_array_equal(np.asarray(toks_flat), np.asarray(toks_split))
     np.testing.assert_array_equal(
         np.asarray(sum_flat, np.float32), np.asarray(sum_split, np.float32)
+    )
+
+
+def test_flat_loop_kernel_sampling_consistent(setup):
+    """The loop-formulation kernel (_burst_kernel_loop — fori_loop over
+    layers and bisection steps, dynamically indexed weight refs) is the
+    flat 64-lane compile-budget form. Same math as the unrolled kernel,
+    but XLA may fuse/round the looped body differently, so with dense
+    random weights near-tie steps can legitimately flip (exactly the
+    caveat in this file's docstring). Assert the same contract as the
+    kernel-vs-XLA tests: every lane matches the unrolled kernel from step
+    0 until a tie flip, every sampled token is argmax-consistent under
+    teacher-forced XLA logits, and emb_sum matches the tokens' table sum."""
+    cfg, spec, pp = setup
+    B = 8
+    rng = np.random.default_rng(65)
+    hidden = jnp.asarray(
+        rng.standard_normal((B, cfg.hidden_size)) * 0.5, jnp.bfloat16
+    )
+    cb0 = jnp.asarray(
+        rng.standard_normal((B, cfg.hidden_size)) * 0.5, jnp.bfloat16
+    )
+    temps = jnp.full((B,), 0.9, jnp.float32)
+    key = jax.random.PRNGKey(12)
+    toks_unrolled, _ = predictor_frame_burst(
+        pp, spec, hidden, cb0, temps, key, interpret=True
+    )
+    # pane_size=4 forces the B > pane_size branch; flat=True selects the
+    # loop kernel as ONE call over all 8 lanes
+    toks_loop, sum_loop = predictor_frame_burst(
+        pp, spec, hidden, cb0, temps, key, interpret=True, pane_size=4,
+        flat=True,
+    )
+    toks_u, toks_l = np.asarray(toks_unrolled), np.asarray(toks_loop)
+    prefix = (np.cumprod(toks_u == toks_l, axis=1)).sum(axis=1)
+    assert prefix.min() >= 1, f"lane diverged at step 0: {prefix}"
+
+    # tol_scale 2: the rolled loop body materializes the bf16 carry at
+    # each iteration boundary, which interpret-mode XLA rounds once more
+    # than the unrolled graph (on-chip Mosaic lowers both bodies to the
+    # same per-layer instruction sequence)
+    assert_sampling_consistent(
+        cfg, spec, pp, hidden, cb0, jnp.asarray(toks_l), temps, key,
+        tol_scale=2.0,
+    )
+
+    tables = np.asarray(pp["codec_embeddings"], np.float32)
+    want = np.zeros((B, cfg.hidden_size), np.float32)
+    for i in range(NUM_STEPS):
+        want += tables[i][toks_l[:, i]]
+    np.testing.assert_allclose(
+        np.asarray(sum_loop, np.float32), want, rtol=3e-2, atol=3e-2
     )

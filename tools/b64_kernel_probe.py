@@ -34,6 +34,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("kernel", choices=["talker", "predictor"])
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument(
+        "--flat", action="store_true",
+        help="predictor: compile the flat loop-formulation kernel "
+        "(_burst_kernel_loop) instead of the pane split; talker: force "
+        "pane_size=batch (single flat pane)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -78,8 +84,11 @@ def main():
         pspec = predictor_spec(pc)
         assert supports_burst(pp, pspec)
         D = tc.hidden_size
+        flat = args.flat
         fn = jax.jit(
-            lambda p, h, c, t, k: predictor_frame_burst(p, pspec, h, c, t, k)
+            lambda p, h, c, t, k: predictor_frame_burst(
+                p, pspec, h, c, t, k, flat=flat
+            )
         )
         t0 = time.time()
         toks, emb = jax.block_until_ready(fn(
@@ -119,9 +128,10 @@ def main():
         tc.num_hidden_layers, B + 1, bs, tc.num_key_value_heads, spec.head_dim
     )
     D = tc.hidden_size
+    pane = args.batch if args.flat else None
     fn = jax.jit(
         lambda p, x, pos, bt, kl, k, v: talker_stack_burst(
-            p, spec, x, pos, bt, kl, k, v, bs
+            p, spec, x, pos, bt, kl, k, v, bs, pane_size=pane
         ),
         donate_argnums=(5, 6),
     )
